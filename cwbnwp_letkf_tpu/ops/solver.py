@@ -1,0 +1,176 @@
+"""Batched ensemble-space LETKF solve.
+
+TPU-native re-design of the reference's per-gridpoint serial solve
+(``letkf_solve``, /root/reference/module_letkf_core.f90:598-700, with the
+eigendecomposition helpers of /root/reference/module_eigen.f90:37-108).
+
+The reference solves, at every gridpoint, with k = ensemble size and
+pre-whitened local innovations ``yo``/perturbations ``yb`` (R-localization
+already folded into the obs-error scaling — see ops/whiten.py):
+
+    A    = inflat*I + Yb' Yb'^T            (dsyrk,  letkf_core.f90:649)
+    Pa   = A^-1                            (dsyevd, eigen.f90:37-76)
+    wm   = Pa (Yb' yo')                    (dgemv+dsymv, letkf_core.f90:651-652)
+    W    = sqrt(A^-1)                      (cached eigenpairs, eigen.f90:78-108)
+    Wtot = wm 1^T + sqrt(k-1) W            (spread+daxpy, letkf_core.f90:662-668)
+    xa   = mean(xb) + Wtot^T (xb - mean)   (dgemv, letkf_core.f90:671-679)
+
+followed by optional RTPP / RTPS relaxation (letkf_core.f90:684-698).
+
+Here the whole thing is one batched computation over ``B`` gridpoints:
+``A`` assembly and the weight application are MXU matmuls; the
+eigendecomposition is a batched ``eigh``.  ``Pa`` and ``sqrt(A^-1)`` are never
+materialized — both reduce to diagonal rescalings in the eigenbasis, which is
+algebraically identical to the reference's eigenpair-cache trick
+(eigen.f90:49-56,89-93) and saves two k*k matmuls per gridpoint:
+
+    s = wm . xb'  = (V^T g / lam) . (V^T xb')        (scalar per point)
+    t = W xb'     = V ((V^T xb') / sqrt(lam))
+    xa = mean(xb) + s + sqrt(k-1) * t
+
+Gridpoints whose local obs vector is empty are left untouched (the reference
+``cycle``s them, letkf_core.f90:220-234): padded zero obs columns make
+``A = inflat*I`` which would *wrongly* inflate the point, so a ``has_obs``
+mask restores the background there.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _eigh_batch(a):
+    """Batched symmetric eigendecomposition (ascending eigenvalues)."""
+    return jnp.linalg.eigh(a)
+
+
+def letkf_weight_factors(yo, yb, inflat, *, solver_dtype=jnp.float32):
+    """Compute the eigen-factored LETKF weight transform per gridpoint.
+
+    Args:
+      yo: ``[B, n]`` whitened innovations (zero-padded obs slots are exact
+        zeros: a zero column contributes nothing to ``Yb Yb^T`` or ``Yb yo``,
+        which is equivalent to the obs being absent).
+      yb: ``[B, k, n]`` whitened background perturbations in obs space.
+      inflat: scalar ``(k-1)/rho`` — multiplicative-inflation-scaled prior
+        weight (letkf_core.f90:68).
+      solver_dtype: dtype of the ensemble-space math.  The reference uses
+        float64 here while state stays float32 (Makefile:9 -DREAL64,
+        letkf_core.f90:609-654); on TPU float32 is the fast path and float64
+        is available for parity testing.
+
+    Returns:
+      ``(lam, v, g)``: eigenvalues ``[B, k]``, eigenvectors ``[B, k, k]`` of
+      ``A = inflat*I + Yb Yb^T``, and ``g = Yb yo`` ``[B, k]``.
+    """
+    yb = yb.astype(solver_dtype)
+    yo = yo.astype(solver_dtype)
+    k = yb.shape[-2]
+    a = jnp.einsum("bkn,bln->bkl", yb, yb, preferred_element_type=solver_dtype)
+    a = a + inflat * jnp.eye(k, dtype=solver_dtype)
+    lam, v = _eigh_batch(a)
+    g = jnp.einsum("bkn,bn->bk", yb, yo, preferred_element_type=solver_dtype)
+    return lam, v, g
+
+
+def apply_weight_factors(lam, v, g, xb, *, solver_dtype=jnp.float32):
+    """Apply the factored weight transform to one analysis field.
+
+    ``xb`` is ``[B, k]``; returns the analysis ``xa`` ``[B, k]`` in
+    ``solver_dtype`` (caller casts/masks).  Mirrors letkf_core.f90:662-679.
+    """
+    xb = xb.astype(solver_dtype)
+    k = xb.shape[-1]
+    xb_mean = jnp.mean(xb, axis=-1, keepdims=True)
+    xb_prime = xb - xb_mean
+
+    vt_g = jnp.einsum("bik,bi->bk", v, g, preferred_element_type=solver_dtype)
+    vt_x = jnp.einsum("bik,bi->bk", v, xb_prime, preferred_element_type=solver_dtype)
+    # s = wm . xb' with wm = Pa g = V diag(1/lam) V^T g
+    s = jnp.sum((vt_g / lam) * vt_x, axis=-1, keepdims=True)
+    # t = sqrt(A^-1) xb' = V diag(1/sqrt(lam)) V^T xb'
+    t = jnp.einsum(
+        "bik,bk->bi", v, vt_x / jnp.sqrt(lam), preferred_element_type=solver_dtype
+    )
+    return xb_mean + s + jnp.sqrt(jnp.asarray(k - 1, solver_dtype)) * t
+
+
+def _relax(xa, xb_prime, use_rtpp, rtpp_alpha, use_rtps, rtps_alpha):
+    """RTPP / RTPS posterior spread relaxation (letkf_core.f90:684-698)."""
+    xa_mean = jnp.mean(xa, axis=-1, keepdims=True)
+    xa_prime = xa - xa_mean
+    if use_rtpp:
+        xa_prime = (1.0 - rtpp_alpha) * xa_prime + rtpp_alpha * xb_prime
+    if use_rtps:
+        xb_std = jnp.sum(xb_prime * xb_prime, axis=-1, keepdims=True)
+        xa_std = jnp.sum(xa_prime * xa_prime, axis=-1, keepdims=True)
+        xa_std = jnp.maximum(xa_std, jnp.finfo(xa.dtype).tiny)
+        factor = rtps_alpha * jnp.sqrt(xb_std / xa_std) - rtps_alpha + 1.0
+        xa_prime = xa_prime * factor
+    return xa_mean + xa_prime
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("use_rtpp", "use_rtps", "solver_dtype"),
+)
+def letkf_solve_batch(
+    xb,
+    yo,
+    yb,
+    inflat,
+    has_obs,
+    *,
+    use_rtpp: bool = False,
+    rtpp_alpha: float = 0.85,
+    use_rtps: bool = False,
+    rtps_alpha: float = 0.85,
+    solver_dtype=jnp.float32,
+):
+    """Batched LETKF analysis update over ``B`` gridpoints.
+
+    Args:
+      xb: ``[B, k]`` background ensemble values at each gridpoint.
+      yo: ``[B, n]`` whitened innovations (zero-padded).
+      yb: ``[B, k, n]`` whitened obs-space perturbations (zero-padded).
+      inflat: scalar ``(k-1)/multi_infl`` for this variable.
+      has_obs: ``[B]`` bool — True where at least one real (unpadded,
+        accepted) obs exists.  Points with none keep their background
+        unchanged, matching the reference's skip (letkf_core.f90:220-234).
+      use_rtpp / use_rtps: static flags; alphas are the per-variable namelist
+        values (config.f90:63-68).
+
+    Returns:
+      ``xa`` ``[B, k]`` in the dtype of ``xb``.
+    """
+    out_dtype = xb.dtype
+    lam, v, g = letkf_weight_factors(yo, yb, inflat, solver_dtype=solver_dtype)
+    xa = apply_weight_factors(lam, v, g, xb, solver_dtype=solver_dtype)
+    if use_rtpp or use_rtps:
+        xbp = xb.astype(solver_dtype)
+        xbp = xbp - jnp.mean(xbp, axis=-1, keepdims=True)
+        xa = _relax(xa, xbp, use_rtpp, rtpp_alpha, use_rtps, rtps_alpha)
+    xa = xa.astype(out_dtype)
+    return jnp.where(has_obs[:, None], xa, xb)
+
+
+@jax.jit
+def tune_q(q):
+    """Moisture positivity fix (letkf_tune_q, letkf_core.f90:702-733).
+
+    Zeroes negative members and rescales the positive ones so the member sum
+    (hence the ensemble mean) is preserved.  Member axis is the last axis.
+
+    Divergence from the reference: when *no* member is positive the reference
+    divides by a zero masked sum (producing Inf/NaN ratios); here such points
+    are set to zero, which is the physically sensible limit.
+    """
+    pos = q > 0.0
+    sum_all = jnp.sum(q, axis=-1, keepdims=True)
+    sum_pos = jnp.sum(jnp.where(pos, q, 0.0), axis=-1, keepdims=True)
+    any_pos = sum_pos > 0.0
+    ratio = jnp.where(any_pos, sum_all / jnp.where(any_pos, sum_pos, 1.0), 0.0)
+    return jnp.where(pos, ratio * q, 0.0).astype(q.dtype)
