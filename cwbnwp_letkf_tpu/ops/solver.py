@@ -47,6 +47,21 @@ def _eigh_batch(a):
     return jnp.linalg.eigh(a)
 
 
+def letkf_weight_factors_from_normal(a_obs, g, inflat, *, solver_dtype=jnp.float32):
+    """Eigen-factor the weight transform from pre-accumulated normal terms.
+
+    ``a_obs = sum_p Yb_p Yb_p^T`` and ``g = sum_p Yb_p yo_p`` can be
+    accumulated platform-by-platform (ops/whiten.py) without ever
+    materializing the concatenated local obs vector — the k-by-k normal
+    matrix is all the solve needs (letkf_core.f90:649-652 builds exactly
+    these two quantities via dsyrk/dgemv).
+    """
+    k = a_obs.shape[-1]
+    a = a_obs.astype(solver_dtype) + inflat * jnp.eye(k, dtype=solver_dtype)
+    lam, v = _eigh_batch(a)
+    return lam, v, g.astype(solver_dtype)
+
+
 def letkf_weight_factors(yo, yb, inflat, *, solver_dtype=jnp.float32):
     """Compute the eigen-factored LETKF weight transform per gridpoint.
 
@@ -68,12 +83,10 @@ def letkf_weight_factors(yo, yb, inflat, *, solver_dtype=jnp.float32):
     """
     yb = yb.astype(solver_dtype)
     yo = yo.astype(solver_dtype)
-    k = yb.shape[-2]
-    a = jnp.einsum("bkn,bln->bkl", yb, yb, preferred_element_type=solver_dtype)
-    a = a + inflat * jnp.eye(k, dtype=solver_dtype)
-    lam, v = _eigh_batch(a)
+    a_obs = jnp.einsum("bkn,bln->bkl", yb, yb, preferred_element_type=solver_dtype)
     g = jnp.einsum("bkn,bn->bk", yb, yo, preferred_element_type=solver_dtype)
-    return lam, v, g
+    return letkf_weight_factors_from_normal(a_obs, g, inflat,
+                                            solver_dtype=solver_dtype)
 
 
 def apply_weight_factors(lam, v, g, xb, *, solver_dtype=jnp.float32):
@@ -148,6 +161,32 @@ def letkf_solve_batch(
     """
     out_dtype = xb.dtype
     lam, v, g = letkf_weight_factors(yo, yb, inflat, solver_dtype=solver_dtype)
+    xa = apply_weight_factors(lam, v, g, xb, solver_dtype=solver_dtype)
+    if use_rtpp or use_rtps:
+        xbp = xb.astype(solver_dtype)
+        xbp = xbp - jnp.mean(xbp, axis=-1, keepdims=True)
+        xa = _relax(xa, xbp, use_rtpp, rtpp_alpha, use_rtps, rtps_alpha)
+    xa = xa.astype(out_dtype)
+    return jnp.where(has_obs[:, None], xa, xb)
+
+
+def letkf_solve_from_normal(
+    a_obs,
+    g,
+    xb,
+    inflat,
+    has_obs,
+    *,
+    use_rtpp: bool = False,
+    rtpp_alpha: float = 0.85,
+    use_rtps: bool = False,
+    rtps_alpha: float = 0.85,
+    solver_dtype=jnp.float32,
+):
+    """Like :func:`letkf_solve_batch` but from accumulated normal terms."""
+    out_dtype = xb.dtype
+    lam, v, g = letkf_weight_factors_from_normal(
+        a_obs, g, inflat, solver_dtype=solver_dtype)
     xa = apply_weight_factors(lam, v, g, xb, solver_dtype=solver_dtype)
     if use_rtpp or use_rtps:
         xbp = xb.astype(solver_dtype)
