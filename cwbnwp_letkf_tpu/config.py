@@ -141,7 +141,11 @@ class LetkfConfig:
     # --- TPU-framework extensions (no reference equivalent)
     solver_dtype: str = "float32"    # "float32" | "float64" (parity mode)
     grid_chunk: int = 1024           # analysis points per on-device batch
-    replicate_stagger_quirk: bool = False  # see docs/DIVERGENCES.md
+    #: Reproduce the reference's U/V stagger behavior: only the unstaggered
+    #: (nx, ny) extent is analyzed and the staggered extra column/row keeps
+    #: its background (letkf_core.f90:188-206,209-210).  False analyzes every
+    #: staggered point (clean mode).  Default True for reference parity.
+    replicate_stagger_quirk: bool = True
 
     # ------------------------------------------------------------------
     def __post_init__(self):

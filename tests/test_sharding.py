@@ -1,0 +1,66 @@
+"""Multi-device sharding correctness: N-device == 1-device, bitwise.
+
+Runs on the 8-way virtual CPU mesh (conftest.py), the no-pod stand-in for a
+TPU slice (SURVEY.md section 4d).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cwbnwp_letkf_tpu.config import MAX_VARS
+from cwbnwp_letkf_tpu.obs.base import PlatformStatic, make_platform_obs
+from cwbnwp_letkf_tpu.ops.update import prepare_platform, update_points
+from cwbnwp_letkf_tpu.parallel import make_mesh, sharded_update_points
+
+K = 8
+
+
+def _case(rng, nrec=70, b=100):
+    xyz = np.stack([rng.uniform(-2e5, 2e5, nrec), rng.uniform(-2e5, 2e5, nrec),
+                    rng.uniform(0, 1e4, nrec)], axis=1)
+    obs = rng.normal(0, 2, (2, nrec))
+    hdxb = obs[:, :, None] + rng.normal(0, 1, (2, nrec, K))
+    error = rng.uniform(0.5, 2, (2, nrec))
+    po = make_platform_obs(xyz, obs, hdxb, error, np.zeros((2, nrec, K)))
+    st = PlatformStatic(
+        name="synop", kind="gts", nvar=2, max_lz_pts=48,
+        hclr=tuple([60.0] * MAX_VARS), vclr=tuple([3.0] * MAX_VARS),
+        err_muti=(1.0, 0.9), err_rej=(5.0, 5.0),
+        is_assim=tuple(tuple([True] * MAX_VARS) for _ in range(2)))
+    pts = np.stack([rng.uniform(-2e5, 2e5, b), rng.uniform(-2e5, 2e5, b),
+                    rng.uniform(0, 1e4, b)], axis=1).astype(np.float32)
+    xb = rng.normal(5, 2, (b, K)).astype(np.float32)
+    return st, po, pts, xb
+
+
+def test_eight_devices_match_single_device():
+    assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
+    rng = np.random.default_rng(31)
+    st, po, pts, xb = _case(rng)
+    dev = [prepare_platform(st, po)]
+    kw = dict(inflat=(K - 1) / 1.2, weight_function=0, use_rtps=True,
+              rtps_alpha=0.9, chunk=16)
+
+    single = update_points(jnp.asarray(xb), jnp.asarray(pts), dev, 0, **kw)
+    mesh = make_mesh()
+    multi = sharded_update_points(mesh, jnp.asarray(xb), jnp.asarray(pts),
+                                  dev, 0, **kw)
+    # b=100 is not divisible by 8 -> exercises the padding path too.
+    # Tolerance note: different shard/batch shapes vectorize with different
+    # instruction-level reduction orders, so float32 results differ at ULP
+    # level (~4e-6); the contract is tight allclose, not bitwise.
+    np.testing.assert_allclose(np.asarray(single), np.asarray(multi),
+                               rtol=3e-5, atol=3e-5)
+
+
+def test_two_device_submesh():
+    rng = np.random.default_rng(32)
+    st, po, pts, xb = _case(rng, b=64)
+    dev = [prepare_platform(st, po)]
+    kw = dict(inflat=(K - 1) / 1.0, weight_function=1, chunk=32)
+    single = update_points(jnp.asarray(xb), jnp.asarray(pts), dev, 0, **kw)
+    mesh = make_mesh(jax.devices()[:2])
+    multi = sharded_update_points(mesh, jnp.asarray(xb), jnp.asarray(pts),
+                                  dev, 0, **kw)
+    np.testing.assert_allclose(np.asarray(single), np.asarray(multi),
+                               rtol=3e-5, atol=3e-5)
