@@ -1,0 +1,111 @@
+"""Command-line driver: the reference's ``cwb_letkf.f90`` pipeline.
+
+    python -m cwbnwp_letkf_tpu.cli --input ../input --output ../output
+
+File conventions preserved from /root/reference/cwb_letkf.f90:26,42,49-51,
+70,76:
+
+    <input>/input.nml              namelist config
+    <input>/wrfinput_nc_###        prior members (3-digit, 1-based)
+    <input>/gts_letkf_###          per-member GTS omboma files
+    <input>/obs_gts                station-altitude ASCII (optional)
+    <input>/VR_letkf_### MR_letkf_###   radar radial-velocity/reflectivity
+    <output>/wrfout_nc_###         analysis members
+    <output>/wrfout_nc_mean        analysis mean (write_analy_mean)
+
+The reference's main wires only VR and MR radar files (cwb_letkf.f90:50-51)
+even though the radar module supports zdr/kdp; ``--all-radar`` additionally
+reads MD/MK files (framework extension).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from typing import Dict
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="cwbnwp-letkf-tpu",
+        description="TPU-native LETKF analysis for WRF ensembles")
+    p.add_argument("--input", default="../input", help="input directory")
+    p.add_argument("--output", default="../output", help="output directory")
+    p.add_argument("--namelist", default=None,
+                   help="namelist path (default <input>/input.nml)")
+    p.add_argument("--all-radar", action="store_true",
+                   help="also read MD/MK (zdr/kdp) radar files")
+    p.add_argument("--chunk", type=int, default=4096,
+                   help="analysis points per device batch")
+    p.add_argument("--no-mesh", action="store_true",
+                   help="single-device update (skip sharding)")
+    p.add_argument("--quiet", action="store_true")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_arg_parser().parse_args(argv)
+
+    from .config import LetkfConfig
+    from .driver import StageTimer, run_analysis
+    from .models.state import read_ensemble, write_ensemble, write_mean
+    from .obs.gts import AltTable, parse_obs_gts, read_gts_ensemble
+    from .obs.radar import PREFIX_TO_NAME, read_radar_ensemble
+    from .projection import LambertProjection
+
+    timer = StageTimer(enabled=not args.quiet)
+    timer.stamp("reading namelist")
+    nml = args.namelist or os.path.join(args.input, "input.nml")
+    cfg = LetkfConfig.from_namelist(nml)
+    k = cfg.nmember
+    proj = LambertProjection.from_config(cfg.projection)
+
+    member = lambda stem, m: os.path.join(args.input, f"{stem}_{m+1:03d}")
+
+    timer.stamp("reading model data")
+    wrf_paths = [member("wrfinput_nc", m) for m in range(k)]
+    ens = read_ensemble(wrf_paths, cfg)
+
+    timer.stamp("read obs data")
+    obs_data: Dict[str, object] = {}
+    gts_paths = [member("gts_letkf", m) for m in range(k)]
+    if all(os.path.exists(p) for p in gts_paths):
+        alt_path = os.path.join(args.input, "obs_gts")
+        alt = parse_obs_gts(alt_path) if os.path.exists(alt_path) else None
+        obs_data.update(read_gts_ensemble(gts_paths, proj, alt))
+    prefixes = ("VR", "MR") + (("MD", "MK") if args.all_radar else ())
+    for prefix in prefixes:
+        paths = [member(f"{prefix}_letkf", m) for m in range(k)]
+        if all(os.path.exists(p) for p in paths):
+            po = read_radar_ensemble(paths, proj)
+            if po is not None:
+                obs_data[PREFIX_TO_NAME[prefix]] = po
+
+    timer.stamp("get into letkf core")
+    mesh = None
+    if not args.no_mesh:
+        import jax
+
+        from .parallel import make_mesh
+
+        if len(jax.devices()) > 1:
+            mesh = make_mesh()
+    run_analysis(cfg, ens, obs_data, mesh=mesh, chunk=args.chunk,
+                 timer=timer)
+    timer.stamp("finish letkf core")
+
+    os.makedirs(args.output, exist_ok=True)
+    if cfg.write_analy_mean:
+        timer.stamp("write analysis mean")
+        write_mean(ens, os.path.join(args.output, "wrfout_nc_mean"))
+
+    timer.stamp("write analysis ensemble")
+    write_ensemble(
+        ens, [os.path.join(args.output, f"wrfout_nc_{m+1:03d}")
+              for m in range(k)])
+    timer.stamp("finish all steps")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -102,7 +102,12 @@ class NetcdfReader:
         raw = self._raw(name)
         if raw.ndim >= 1 and self._leading_time(name):
             raw = raw[0]
-        return np.ascontiguousarray(raw.T) if raw.ndim > 1 else np.array(raw)
+        out = np.ascontiguousarray(raw.T) if raw.ndim > 1 else np.array(raw)
+        # classic NetCDF stores big-endian; JAX rejects non-native dtypes
+        if out.dtype.byteorder not in ("=", "|") and out.dtype.byteorder != (
+                "<" if np.little_endian else ">"):
+            out = out.astype(out.dtype.newbyteorder("="))
+        return out
 
     def get_scalar(self, name: str) -> float:
         raw = self._raw(name)

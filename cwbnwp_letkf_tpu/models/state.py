@@ -187,8 +187,10 @@ def _derive_rhoa(nc: NetcdfReader, fields, pb, phb, mub,
     tlp_strat = nc.get_scalar("TLP_STRAT")
 
     temp = np.maximum(tiso, t00 + tlp * np.log(pb / p00))
-    temp = np.where(pb < p_strat, tiso + tlp_strat * np.log(pb / p_strat),
-                    temp)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        strat = tiso + tlp_strat * np.log(
+            pb / p_strat if p_strat > 0 else np.inf)
+    temp = np.where(pb < p_strat, strat, temp)
     t_init = temp * (p00 / pb) ** (R_D / CP)
     mu_full = mub + fields["mu"]
     ph = fields["ph"]
