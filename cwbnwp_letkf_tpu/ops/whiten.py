@@ -114,37 +114,43 @@ def accumulate_platform_terms(
     into the current analysis variable (letkf_core.f90:355-363,429).
     """
     idx = nb.idx  # [B, n_max]
-    n_active = sum(bool(a) for a in assim_v)
-    if n_active == 0:
+    active_vars = [v for v, a in enumerate(assim_v) if a]
+    if not active_vars:
         raise ValueError("accumulate_platform_terms called with no active vars")
 
+    v_act = len(active_vars)
+    r = stats.omm.shape[-1]
     k = stats.bg.shape[-1]
-    b = idx.shape[0]
-    a_obs = jnp.zeros((b, k, k), solver_dtype)
-    g = jnp.zeros((b, k), solver_dtype)
-    count = jnp.zeros((b,), jnp.int32)
+    b, n = idx.shape
 
-    for v, active in enumerate(assim_v):
-        if not active:
-            continue
-        # mode="clip": sentinel-padded neighbor slots carry indices past R;
-        # they are masked below, but the default fill mode would inject NaNs
-        # that survive multiplication by zero.
-        omm_v = jnp.take(stats.omm[v], idx, axis=0, mode="clip")   # [B, n]
-        err_v = jnp.take(stats.err[v], idx, axis=0, mode="clip")   # [B, n]
-        val_v = jnp.take(stats.valid[v], idx, axis=0, mode="clip") & nb.mask
-        bg_v = jnp.take(stats.bg[v], idx, axis=0, mode="clip")     # [B, n, k]
+    # Fuse the observed-variable axis into the slot axis: gather all active
+    # variables' tables with one flattened index (v * R + idx), then run one
+    # [B, v*n, k] einsum pair instead of v separate small ones.
+    av = jnp.asarray(active_vars, jnp.int32)
+    idx_f = (av[:, None, None] * r
+             + idx[None, :, :].astype(jnp.int32))            # [V, B, n]
+    idx_f = jnp.transpose(idx_f, (1, 0, 2)).reshape(b, v_act * n)
 
-        einv = obs_error_inv_weight(nb.r2, err_v, weight_function)
-        einv = jnp.where(val_v, einv, 0.0).astype(solver_dtype)
+    # mode="clip": sentinel-padded neighbor slots carry indices past R; they
+    # are masked below, but the default fill mode would inject NaNs that
+    # survive multiplication by zero.
+    omm = jnp.take(stats.omm.reshape(-1), idx_f, mode="clip")       # [B, Vn]
+    err = jnp.take(stats.err.reshape(-1), idx_f, mode="clip")
+    val = jnp.take(stats.valid.reshape(-1), idx_f, mode="clip")
+    val = val & jnp.tile(nb.mask, (1, v_act))
+    bg = jnp.take(stats.bg.reshape(-1, k), idx_f, axis=0,
+                  mode="clip")                                       # [B, Vn, k]
 
-        yo_v = (omm_v.astype(solver_dtype)) * einv           # [B, n]
-        yb_v = bg_v.astype(solver_dtype) * einv[..., None]   # [B, n, k]
+    r2 = jnp.tile(nb.r2, (1, v_act))
+    einv = obs_error_inv_weight(r2, err, weight_function)
+    einv = jnp.where(val, einv, 0.0).astype(solver_dtype)
 
-        a_obs = a_obs + jnp.einsum(
-            "bnk,bnl->bkl", yb_v, yb_v, preferred_element_type=solver_dtype)
-        g = g + jnp.einsum(
-            "bnk,bn->bk", yb_v, yo_v, preferred_element_type=solver_dtype)
-        count = count + jnp.sum(val_v, axis=-1, dtype=jnp.int32)
+    yo = omm.astype(solver_dtype) * einv                             # [B, Vn]
+    yb = bg.astype(solver_dtype) * einv[..., None]                   # [B, Vn, k]
 
+    a_obs = jnp.einsum("bnk,bnl->bkl", yb, yb,
+                       preferred_element_type=solver_dtype)
+    g = jnp.einsum("bnk,bn->bk", yb, yo,
+                   preferred_element_type=solver_dtype)
+    count = jnp.sum(val, axis=-1, dtype=jnp.int32)
     return a_obs, g, count
