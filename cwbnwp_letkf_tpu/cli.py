@@ -40,6 +40,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-mesh", action="store_true",
                    help="single-device update (skip sharding)")
     p.add_argument("--quiet", action="store_true")
+    p.add_argument("--metrics-json", default=None,
+                   help="write run metrics as one JSON line to this path")
     return p
 
 
@@ -48,12 +50,14 @@ def main(argv=None) -> int:
 
     from .config import LetkfConfig
     from .driver import StageTimer, run_analysis
+    from .metrics import RunMetrics
     from .models.state import read_ensemble, write_ensemble, write_mean
     from .obs.gts import AltTable, parse_obs_gts, read_gts_ensemble
     from .obs.radar import PREFIX_TO_NAME, read_radar_ensemble
     from .projection import LambertProjection
 
     timer = StageTimer(enabled=not args.quiet)
+    metrics = RunMetrics()
     timer.stamp("reading namelist")
     nml = args.namelist or os.path.join(args.input, "input.nml")
     cfg = LetkfConfig.from_namelist(nml)
@@ -91,7 +95,7 @@ def main(argv=None) -> int:
         if len(jax.devices()) > 1:
             mesh = make_mesh()
     run_analysis(cfg, ens, obs_data, mesh=mesh, chunk=args.chunk,
-                 timer=timer)
+                 timer=timer, metrics=metrics)
     timer.stamp("finish letkf core")
 
     os.makedirs(args.output, exist_ok=True)
@@ -104,6 +108,11 @@ def main(argv=None) -> int:
         ens, [os.path.join(args.output, f"wrfout_nc_{m+1:03d}")
               for m in range(k)])
     timer.stamp("finish all steps")
+    if args.metrics_json:
+        with open(args.metrics_json, "w") as fh:
+            fh.write(metrics.to_json() + "\n")
+    elif not args.quiet:
+        print("metrics:", metrics.to_json())
     return 0
 
 

@@ -20,12 +20,14 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from .config import LetkfConfig
+from .metrics import RunMetrics
 from .models.state import WrfEnsemble
 from .models.variables import VAR_TABLE
 from .models.vcoord import analysis_points, mean_geopotential_height
 from .obs.base import PlatformObs, PlatformStatic, platform_statics_from_config
 from .ops.solver import tune_q
-from .ops.update import DevicePlatform, prepare_platform, update_points
+from .ops.update import (DevicePlatform, prepare_platform, update_points,
+                         update_points_group)
 from .projection import LambertProjection
 
 
@@ -60,29 +62,23 @@ def prepare_platforms(
     return out
 
 
-def run_analysis(
-    cfg: LetkfConfig,
-    ens: WrfEnsemble,
-    obs_data: Dict[str, PlatformObs],
-    *,
-    mesh=None,
-    chunk: int = 4096,
-    timer: Optional[StageTimer] = None,
-) -> WrfEnsemble:
-    """In-place LETKF analysis of ``ens`` for every ``var_update`` variable."""
-    import jax.numpy as jnp
+def _group_variables(cfg, platforms):
+    """Group ``var_update`` entries that can share one weight computation.
 
-    from .parallel.update import sharded_update_points
+    Two variables fuse when they share (a) analysis points — identical
+    stagger — and (b) the localization signature every active platform
+    applies to them: ``(hclr, vclr, assim_mask)``.  Then their local obs
+    sets and whitened normal terms are identical and ``A_v`` differs only by
+    ``inflat_v * I`` (see ops/solver.letkf_solve_group_from_normal).  The
+    reference has no such notion — it rebuilds trees and redoes every solve
+    per variable (letkf_core.f90:59-297).
 
-    timer = timer or StageTimer(enabled=False)
-    proj = LambertProjection.from_config(cfg.projection)
-    platforms = prepare_platforms(cfg, obs_data)
-    solver_dtype = jnp.float64 if cfg.solver_dtype == "float64" else jnp.float32
-    quirk = cfg.replicate_stagger_quirk
-
-    z_w = mean_geopotential_height(ens)
-    pts_cache: Dict[Tuple[int, int], Tuple[np.ndarray, Tuple[int, int, int]]] = {}
-
+    Returns a list of groups ``[(key, [(ivar, vname, spec), ...]), ...]`` in
+    first-appearance order; variables nothing assimilates are dropped
+    (letkf_core.f90:66).
+    """
+    groups: Dict[tuple, list] = {}
+    order = []
     for ivar, vname in enumerate(cfg.var_update):
         if not vname:
             break
@@ -91,48 +87,149 @@ def run_analysis(
             raise ValueError(
                 f"unknown analysis variable {vname!r} "
                 "(letkf_core.f90:159-161 aborts likewise)")
-        if not any(dp.static.active(ivar) for dp in platforms):
-            continue  # no platform assimilates this variable (letkf_core.f90:66)
-        timer.stamp(f"update {vname}")
+        sig = []
+        for dp in platforms:
+            st = dp.static
+            if st.active(ivar):
+                sig.append((st.name, st.hclr[ivar], st.vclr[ivar],
+                            st.assim_mask(ivar)))
+        if not sig:
+            continue
+        key = (spec.hstag, spec.vstag, tuple(sig))
+        if key not in groups:
+            groups[key] = []
+            order.append(key)
+        groups[key].append((ivar, vname, spec))
+    return [(key, groups[key]) for key in order]
 
+
+def run_analysis(
+    cfg: LetkfConfig,
+    ens: WrfEnsemble,
+    obs_data: Dict[str, PlatformObs],
+    *,
+    mesh=None,
+    chunk: int = 4096,
+    timer: Optional[StageTimer] = None,
+    fuse_variables: bool = True,
+    metrics: Optional[RunMetrics] = None,
+) -> WrfEnsemble:
+    """In-place LETKF analysis of ``ens`` for every ``var_update`` variable.
+
+    ``fuse_variables=True`` (default) updates variables sharing a
+    localization signature in one fused pass — one neighbor search + one
+    eigh per gridpoint per *group* instead of per variable.  Set False for
+    the reference-shaped one-variable-at-a-time loop (identical results up
+    to eigh roundoff; tests/test_update.py).
+    """
+    import jax.numpy as jnp
+
+    from .parallel.update import (sharded_update_points,
+                                  sharded_update_points_group)
+
+    timer = timer or StageTimer(enabled=False)
+    metrics = metrics if metrics is not None else RunMetrics()
+    proj = LambertProjection.from_config(cfg.projection)
+    platforms = prepare_platforms(cfg, obs_data)
+    for dp in platforms:
+        metrics.add_platform(dp)
+    metrics.stage("prepare_platforms")
+    solver_dtype = jnp.float64 if cfg.solver_dtype == "float64" else jnp.float32
+    quirk = cfg.replicate_stagger_quirk
+
+    z_w = mean_geopotential_height(ens)
+    pts_cache: Dict[Tuple[int, int], Tuple[np.ndarray, Tuple[int, int, int]]] = {}
+    infl = cfg.inflation
+
+    def points_for(spec):
         key = (spec.hstag, spec.vstag)
         if key not in pts_cache:
             pts_cache[key] = analysis_points(
                 ens, proj, spec.hstag, spec.vstag, z_w, quirk=quirk)
-        pts, (ux, uy, uz) = pts_cache[key]
+        return pts_cache[key]
 
+    def read_xb(spec, ux, uy, uz):
         full = ens.field(spec.field)
-        if full.ndim == 3:  # MU: [nx, ny, k] -> treat as one level
+        if full.ndim == 3:  # MU: [nx, ny, k] -> one level
             region = full[:ux, :uy, None, :]
         else:
             region = full[:ux, :uy, :uz, :]
-        xb = region.reshape(-1, ens.k)
+        return full, region.reshape(-1, ens.k)
 
-        kwargs = dict(
-            inflat=(ens.k - 1) / cfg.inflation.multi_infl[ivar],
-            weight_function=cfg.weight_function,
-            use_rtpp=bool(cfg.inflation.use_rtpp[ivar]),
-            rtpp_alpha=cfg.inflation.rtpp_alpha[ivar],
-            use_rtps=bool(cfg.inflation.use_rtps[ivar]),
-            rtps_alpha=cfg.inflation.rtps_alpha[ivar],
-            solver_dtype=solver_dtype,
-            chunk=chunk,
-        )
-        if mesh is not None:
-            xa = sharded_update_points(
-                mesh, jnp.asarray(xb), jnp.asarray(pts), platforms, ivar,
-                **kwargs)
-        else:
-            xa = update_points(
-                jnp.asarray(xb), jnp.asarray(pts), platforms, ivar, **kwargs)
-
-        if spec.tune_q:
-            xa = tune_q(xa)  # letkf_core.f90:252-278
-
+    def write_xa(spec, full, xa, ux, uy, uz):
         xa_np = np.asarray(xa, dtype=full.dtype).reshape(ux, uy, uz, ens.k)
         if full.ndim == 3:
             full[:ux, :uy, :] = xa_np[:, :, 0, :]
         else:
             full[:ux, :uy, :uz, :] = xa_np
 
+    if not fuse_variables:
+        for key, members in _group_variables(cfg, platforms):
+            for ivar, vname, spec in members:
+                timer.stamp(f"update {vname}")
+                pts, (ux, uy, uz) = points_for(spec)
+                full, xb = read_xb(spec, ux, uy, uz)
+                kwargs = dict(
+                    inflat=(ens.k - 1) / infl.multi_infl[ivar],
+                    weight_function=cfg.weight_function,
+                    use_rtpp=bool(infl.use_rtpp[ivar]),
+                    rtpp_alpha=infl.rtpp_alpha[ivar],
+                    use_rtps=bool(infl.use_rtps[ivar]),
+                    rtps_alpha=infl.rtps_alpha[ivar],
+                    solver_dtype=solver_dtype,
+                    chunk=chunk,
+                )
+                if mesh is not None:
+                    xa = sharded_update_points(
+                        mesh, jnp.asarray(xb), jnp.asarray(pts), platforms,
+                        ivar, **kwargs)
+                else:
+                    xa = update_points(
+                        jnp.asarray(xb), jnp.asarray(pts), platforms, ivar,
+                        **kwargs)
+                if spec.tune_q:
+                    xa = tune_q(xa)  # letkf_core.f90:252-278
+                write_xa(spec, full, xa, ux, uy, uz)
+        return ens
+
+    for key, members in _group_variables(cfg, platforms):
+        names = "+".join(v for _, v, _ in members)
+        timer.stamp(f"update {names}")
+        t_grp = time.time()
+        spec0 = members[0][2]
+        pts, (ux, uy, uz) = points_for(spec0)
+        fulls, xbs = [], []
+        for ivar, vname, spec in members:
+            full, xb = read_xb(spec, ux, uy, uz)
+            fulls.append(full)
+            xbs.append(xb)
+        xb_stack = jnp.stack([jnp.asarray(x) for x in xbs], axis=1)  # [B,V,k]
+        ivars = tuple(iv for iv, _, _ in members)
+        kwargs = dict(
+            inflats=tuple((ens.k - 1) / infl.multi_infl[iv] for iv in ivars),
+            weight_function=cfg.weight_function,
+            rtpp_alpha=tuple(
+                infl.rtpp_alpha[iv] if infl.use_rtpp[iv] else 0.0
+                for iv in ivars),
+            rtps_alpha=tuple(
+                infl.rtps_alpha[iv] if infl.use_rtps[iv] else 0.0
+                for iv in ivars),
+            solver_dtype=solver_dtype,
+            chunk=chunk,
+        )
+        if mesh is not None:
+            xa_stack = sharded_update_points_group(
+                mesh, xb_stack, jnp.asarray(pts), platforms, ivars, **kwargs)
+        else:
+            xa_stack = update_points_group(
+                xb_stack, jnp.asarray(pts), platforms, ivars, **kwargs)
+        for vi, (ivar, vname, spec) in enumerate(members):
+            xa = xa_stack[:, vi, :]
+            if spec.tune_q:
+                xa = tune_q(xa)  # letkf_core.f90:252-278
+            write_xa(spec, fulls[vi], xa, ux, uy, uz)
+        metrics.add_group([v for _, v, _ in members], int(pts.shape[0]),
+                          time.time() - t_grp)
+
+    metrics.stage("update")
     return ens

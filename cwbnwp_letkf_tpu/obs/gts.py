@@ -93,6 +93,21 @@ def _parse_record_line(line: str, nvar: int):
     return ident, lat, lon, slot, obs, omb, qc, err
 
 
+def parse_member_file_fast(path: str):
+    """Parse one member file, preferring the native C++ parser.
+
+    Returns ``{family: records}`` where records are either
+    :class:`~cwbnwp_letkf_tpu.io.native.NativeGtsFamily` (flat numpy arrays)
+    or :class:`GtsRecords` — both duck-type for :func:`read_gts_ensemble`.
+    """
+    from ..io.native import parse_member_file_native
+
+    native = parse_member_file_native(path)
+    if native is not None:
+        return native
+    return parse_member_file(path)
+
+
 def parse_member_file(path: str) -> Dict[str, GtsRecords]:
     """Parse one member's gts_omboma file into per-family records."""
     out: Dict[str, GtsRecords] = {}
@@ -284,7 +299,7 @@ def read_gts_ensemble(
     import jax.numpy as jnp
 
     with cf.ThreadPoolExecutor(max_workers=max_workers) as ex:
-        parsed = list(ex.map(parse_member_file, member_paths))
+        parsed = list(ex.map(parse_member_file_fast, member_paths))
     k = len(parsed)
     out: Dict[str, PlatformObs] = {}
     for name, rec0 in parsed[0].items():

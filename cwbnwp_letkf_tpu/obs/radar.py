@@ -24,6 +24,16 @@ from .base import PlatformObs
 PREFIX_TO_NAME = {"VR": "vr", "MR": "dbz", "MD": "zdr", "MK": "kdp"}
 
 
+def parse_radar_file_fast(path: str) -> Optional[np.ndarray]:
+    """Parse one radar file, preferring the native C++ parser."""
+    from ..io.native import parse_radar_file_native
+
+    data = parse_radar_file_native(path)
+    if data is not None:
+        return data if data.shape[0] else None
+    return parse_radar_file(path)
+
+
 def parse_radar_file(path: str) -> Optional[np.ndarray]:
     """Parse one member's radar file -> [nobs, 5] float32 or None if empty."""
     with open(path) as fh:
@@ -56,7 +66,7 @@ def read_radar_ensemble(
     import jax.numpy as jnp
 
     with cf.ThreadPoolExecutor(max_workers=max_workers) as ex:
-        parsed = list(ex.map(parse_radar_file, member_paths))
+        parsed = list(ex.map(parse_radar_file_fast, member_paths))
     if parsed[0] is None:
         return None
     n = parsed[0].shape[0]

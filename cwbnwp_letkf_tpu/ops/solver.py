@@ -196,6 +196,77 @@ def letkf_solve_from_normal(
     return jnp.where(has_obs[:, None], xa, xb)
 
 
+def letkf_solve_group_from_normal(
+    a_obs,
+    g,
+    xb,
+    inflats,
+    has_obs,
+    *,
+    rtpp_alpha,
+    rtps_alpha,
+    solver_dtype=jnp.float32,
+):
+    """Fused multi-variable solve from one set of normal terms.
+
+    The reference recomputes the full k-by-k eigensolve for *every* analysis
+    variable at every gridpoint (letkf_core.f90:59-297 re-enters letkf_solve
+    per variable), even though variables sharing localization radii and
+    assimilation masks see the identical ``Yb' Yb'^T`` / ``Yb' yo'``.  Since
+    ``A_v = a_obs + inflat_v * I`` differs between such variables only by a
+    multiple of the identity, every ``A_v`` shares the eigenvectors of
+    ``a_obs`` — eigenvalues just shift by ``inflat_v``.  One batched eigh
+    therefore serves the whole variable group; per-variable cost collapses to
+    the O(k^2) weight application.
+
+    Args:
+      a_obs:   ``[B, k, k]`` accumulated ``Yb' Yb'^T``.
+      g:       ``[B, k]`` accumulated ``Yb' yo'``.
+      xb:      ``[B, V, k]`` background for the V grouped variables.
+      inflats: ``[V]`` per-variable ``(k-1)/multi_infl`` (letkf_core.f90:68).
+      has_obs: ``[B]`` bool — background kept where False.
+      rtpp_alpha / rtps_alpha: ``[V]`` relaxation strengths; 0 disables
+        (alpha=0 makes both RTPP and RTPS exact identities, so disabled
+        variables need no separate code path).
+
+    Returns ``xa`` ``[B, V, k]`` in ``xb``'s dtype.
+    """
+    out_dtype = xb.dtype
+    xb = xb.astype(solver_dtype)
+    k = xb.shape[-1]
+    a = a_obs.astype(solver_dtype)
+    lam0, v = _eigh_batch(a)                      # [B, k], [B, k, k]
+    g = g.astype(solver_dtype)
+    inflats = jnp.asarray(inflats, solver_dtype)  # [V]
+
+    xb_mean = jnp.mean(xb, axis=-1, keepdims=True)
+    xb_prime = xb - xb_mean                       # [B, V, k]
+
+    vt_g = jnp.einsum("bik,bi->bk", v, g, preferred_element_type=solver_dtype)
+    vt_x = jnp.einsum("bik,bvi->bvk", v, xb_prime,
+                      preferred_element_type=solver_dtype)
+    lam = lam0[:, None, :] + inflats[None, :, None]   # [B, V, k]
+    s = jnp.sum((vt_g[:, None, :] / lam) * vt_x, axis=-1, keepdims=True)
+    t = jnp.einsum("bik,bvk->bvi", v, vt_x / jnp.sqrt(lam),
+                   preferred_element_type=solver_dtype)
+    xa = xb_mean + s + jnp.sqrt(jnp.asarray(k - 1, solver_dtype)) * t
+
+    # RTPP / RTPS (letkf_core.f90:684-698), vectorized over the group.
+    rtpp = jnp.asarray(rtpp_alpha, solver_dtype)[None, :, None]
+    rtps = jnp.asarray(rtps_alpha, solver_dtype)[None, :, None]
+    xa_mean = jnp.mean(xa, axis=-1, keepdims=True)
+    xa_prime = xa - xa_mean
+    xa_prime = (1.0 - rtpp) * xa_prime + rtpp * xb_prime
+    xb_std = jnp.sum(xb_prime * xb_prime, axis=-1, keepdims=True)
+    xa_std = jnp.sum(xa_prime * xa_prime, axis=-1, keepdims=True)
+    xa_std = jnp.maximum(xa_std, jnp.finfo(xa.dtype).tiny)
+    factor = rtps * jnp.sqrt(xb_std / xa_std) - rtps + 1.0
+    xa = xa_mean + xa_prime * factor
+
+    xa = xa.astype(out_dtype)
+    return jnp.where(has_obs[:, None, None], xa, xb.astype(out_dtype))
+
+
 @jax.jit
 def tune_q(q):
     """Moisture positivity fix (letkf_tune_q, letkf_core.f90:702-733).

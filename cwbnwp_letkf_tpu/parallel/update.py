@@ -75,3 +75,58 @@ def sharded_update_points(
         out_specs=P(GRID_AXIS),
     )
     return f(xb, q, arrays)[:b]
+
+
+def sharded_update_points_group(
+    mesh: Mesh,
+    xb,
+    points_xyz,
+    platforms: Sequence[DevicePlatform],
+    ivars,
+    *,
+    inflats,
+    weight_function: int,
+    rtpp_alpha,
+    rtps_alpha,
+    solver_dtype=jnp.float32,
+    chunk: int = 4096,
+):
+    """SPMD variant of :func:`~cwbnwp_letkf_tpu.ops.update.update_points_group`.
+
+    ``xb [B, V, k]`` / ``points_xyz [B, 3]`` sharded along ``B``; obs
+    replicated.  Same padding/masking contract as
+    :func:`sharded_update_points`.
+    """
+    from ..ops.update import update_points_group
+
+    xb = jnp.asarray(xb)
+    q = jnp.asarray(points_xyz)
+    b, n_vars, k = xb.shape
+    n_dev = mesh.devices.size
+
+    b_pad = -(-b // n_dev) * n_dev
+    if b_pad != b:
+        xb = jnp.concatenate([xb, jnp.zeros((b_pad - b, n_vars, k), xb.dtype)])
+        q = jnp.concatenate([q, jnp.full((b_pad - b, 3), 1e18, q.dtype)])
+
+    statics = [dp.static for dp in platforms]
+    arrays = [(dp.xyz, dp.stats) for dp in platforms]
+
+    def local(xb_l, q_l, arrays_l):
+        plats = [
+            DevicePlatform(static=st, xyz=xyz, stats=stats)
+            for st, (xyz, stats) in zip(statics, arrays_l)
+        ]
+        return update_points_group(
+            xb_l, q_l, plats, ivars,
+            inflats=inflats, weight_function=weight_function,
+            rtpp_alpha=rtpp_alpha, rtps_alpha=rtps_alpha,
+            solver_dtype=solver_dtype, chunk=chunk)
+
+    f = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(GRID_AXIS), P(GRID_AXIS), P()),
+        out_specs=P(GRID_AXIS),
+    )
+    return f(xb, q, arrays)[:b]

@@ -64,3 +64,25 @@ def test_two_device_submesh():
                                   dev, 0, **kw)
     np.testing.assert_allclose(np.asarray(single), np.asarray(multi),
                                rtol=3e-5, atol=3e-5)
+
+
+def test_sharded_group_matches_single_device_group():
+    from cwbnwp_letkf_tpu.ops.update import update_points_group
+    from cwbnwp_letkf_tpu.parallel.update import sharded_update_points_group
+
+    rng = np.random.default_rng(33)
+    st, po, pts, xb2 = _case(rng, b=100)
+    dev = [prepare_platform(st, po)]
+    v = 3
+    xb = rng.normal(5, 2, (100, v, K)).astype(np.float32)
+    kw = dict(inflats=((K - 1) / 1.2, (K - 1) / 1.0, (K - 1) / 1.5),
+              weight_function=0, rtpp_alpha=(0.0, 0.8, 0.0),
+              rtps_alpha=(0.9, 0.0, 0.0), chunk=16)
+
+    single = update_points_group(
+        jnp.asarray(xb), jnp.asarray(pts), dev, (0, 1, 2), **kw)
+    mesh = make_mesh()
+    multi = sharded_update_points_group(
+        mesh, jnp.asarray(xb), jnp.asarray(pts), dev, (0, 1, 2), **kw)
+    np.testing.assert_allclose(np.asarray(single), np.asarray(multi),
+                               rtol=3e-5, atol=3e-5)

@@ -13,7 +13,8 @@ import pytest
 from cwbnwp_letkf_tpu.config import MAX_VARS
 from cwbnwp_letkf_tpu.constants import GC1999_SQ
 from cwbnwp_letkf_tpu.obs.base import PlatformStatic, make_platform_obs
-from cwbnwp_letkf_tpu.ops.update import prepare_platform, update_points
+from cwbnwp_letkf_tpu.ops.update import (prepare_platform, update_points,
+                                         update_points_group)
 
 from . import reference_impl as ref
 
@@ -150,4 +151,55 @@ def test_update_points_inactive_variable_is_noop():
     xa = update_points(jnp.asarray(xb), jnp.asarray(pts),
                        [prepare_platform(st_off, po)], 0,
                        inflat=5.0, weight_function=0)
+    np.testing.assert_array_equal(np.asarray(xa), xb)
+
+
+def test_update_points_group_matches_per_variable():
+    """Fused group path == per-variable path for each ivar in the group.
+
+    The group members share localization (hclr/vclr/is_assim constant across
+    MAX_VARS in the fixture) but differ in inflation and relaxation; the
+    eigenvector-sharing trick (A_v = a_obs + inflat_v I) must reproduce each
+    separately-solved variable.
+    """
+    rng = np.random.default_rng(24)
+    plats = [_mk_gts_platform(rng, 70, 3), _mk_dbz_platform(rng, 50)]
+    b, v = 30, 3
+    pts = np.stack([rng.uniform(-2e5, 2e5, b), rng.uniform(-2e5, 2e5, b),
+                    rng.uniform(0, 1.4e4, b)], axis=1)
+    xb = rng.normal(8.0, 2.0, (b, v, K))
+    ivars = (0, 2, 3)
+    inflats = tuple((K - 1) / rho for rho in (1.0, 1.4, 1.1))
+    rtpp = (0.0, 0.9, 0.0)
+    rtps = (0.7, 0.0, 0.0)
+
+    dev = [prepare_platform(st, po, norain_value=NORAIN) for st, po in plats]
+    grouped = update_points_group(
+        jnp.asarray(xb), jnp.asarray(pts), dev, ivars,
+        inflats=inflats, weight_function=0,
+        rtpp_alpha=rtpp, rtps_alpha=rtps,
+        solver_dtype=jnp.float64, chunk=16)
+    for vi, ivar in enumerate(ivars):
+        single = update_points(
+            jnp.asarray(xb[:, vi]), jnp.asarray(pts), dev, ivar,
+            inflat=inflats[vi], weight_function=0,
+            use_rtpp=rtpp[vi] > 0, rtpp_alpha=rtpp[vi],
+            use_rtps=rtps[vi] > 0, rtps_alpha=rtps[vi],
+            solver_dtype=jnp.float64, chunk=16)
+        np.testing.assert_allclose(
+            np.asarray(grouped[:, vi]), np.asarray(single),
+            rtol=1e-8, atol=1e-9)
+
+
+def test_update_points_group_inactive_is_noop():
+    rng = np.random.default_rng(25)
+    st, po = _mk_gts_platform(rng, 30, 2)
+    st_off = PlatformStatic(**{**st.__dict__, "hclr": tuple([-1.0] * MAX_VARS)})
+    xb = rng.normal(size=(8, 2, K))
+    from cwbnwp_letkf_tpu.ops.update import update_points_group
+    xa = update_points_group(
+        jnp.asarray(xb), jnp.asarray(np.zeros((8, 3))),
+        [prepare_platform(st_off, po)], (0, 1),
+        inflats=(5.0, 5.0), weight_function=0,
+        rtpp_alpha=(0.0, 0.0), rtps_alpha=(0.0, 0.0))
     np.testing.assert_array_equal(np.asarray(xa), xb)
