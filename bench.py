@@ -73,29 +73,46 @@ def bench_tpu(pts, xb, plats):
     from cwbnwp_letkf_tpu.ops.update import (prepare_platform, update_points,
                                              update_points_group)
 
+    # The tunnel executes programs asynchronously: block_until_ready is only
+    # a dispatch barrier, so honest timing requires a device->host fetch of
+    # a result slice (computed inside the same program to keep it tiny).
+    # D2H intermittently wedges while compute stays healthy; setting
+    # CWBNWP_BENCH_NO_FETCH=1 (the watchdog's fallback) degrades to
+    # dispatch-barrier timing, reported in the detail block.
+    no_fetch = bool(os.environ.get("CWBNWP_BENCH_NO_FETCH"))
+
+    def digest(x):
+        return x.reshape(-1)[:1024]
+
     dev = [prepare_platform(st, po) for st, po in plats]
     xb_d = jnp.asarray(xb)
     pts_d = jnp.asarray(pts)
     b = pts.shape[0]
 
+    @jax.jit
+    def single_fn(xb_a, pts_a):
+        xa = update_points(
+            xb_a, pts_a, dev, 0, inflat=(K - 1) / 1.1, weight_function=0,
+            use_rtps=True, rtps_alpha=0.9, chunk=4096)
+        return digest(xa)
+
     def run_single():
-        return jax.block_until_ready(update_points(
-            xb_d, pts_d, dev, 0, inflat=(K - 1) / 1.1, weight_function=0,
-            use_rtps=True, rtps_alpha=0.9, chunk=4096))
+        d = single_fn(xb_d, pts_d)
+        if no_fetch:
+            return jax.block_until_ready(d)
+        h = np.asarray(d)
+        assert np.isfinite(h).all()
+        return h
 
     _log("warming single")
     run_single()  # warm up / compile
     _log("single compiled")
-    # No device->host fetches anywhere in the timed path: the tunnel's D2H
-    # direction has been observed to wedge for minutes while compute and
-    # H2D stay healthy; numerical validity is owned by the test suite.
     dt_single = _best_of(run_single)
 
     # The production cycle: 16 variables fused into one weight computation
     # (the reference redoes the whole pipeline per variable,
     # letkf_core.f90:59-297; the CPU baseline below is per variable-update,
     # so cycle throughput is measured in variable-gridpoint updates/s).
-    xb_v = jnp.broadcast_to(xb_d[:, None, :], (b, N_VARS, K))
     kw = dict(
         inflats=tuple((K - 1) / 1.1 for _ in range(N_VARS)),
         weight_function=0,
@@ -103,10 +120,20 @@ def bench_tpu(pts, xb, plats):
         rtps_alpha=tuple(0.9 for _ in range(N_VARS)),
         chunk=2048)
     ivars = tuple(0 for _ in range(N_VARS))
+    xb_v = jnp.broadcast_to(xb_d[:, None, :], (b, N_VARS, K))
+
+    @jax.jit
+    def fused_fn(xb_a, pts_a):
+        xa = update_points_group(xb_a, pts_a, dev, ivars, **kw)
+        return digest(xa)
 
     def run_fused():
-        return jax.block_until_ready(
-            update_points_group(xb_v, pts_d, dev, ivars, **kw))
+        d = fused_fn(xb_v, pts_d)
+        if no_fetch:
+            return jax.block_until_ready(d)
+        h = np.asarray(d)
+        assert np.isfinite(h).all()
+        return h
 
     _log("warming fused")
     run_fused()
@@ -114,7 +141,9 @@ def bench_tpu(pts, xb, plats):
     dt_fused = _best_of(run_fused)
 
     return (b / dt_single, N_VARS * b / dt_fused,
-            {"single_s": dt_single, "fused_cycle_s": dt_fused, "points": b})
+            {"single_s": dt_single, "fused_cycle_s": dt_fused, "points": b,
+             "completion_barrier":
+                 "dispatch-only (D2H outage)" if no_fetch else "d2h digest"})
 
 
 def bench_cpu_baseline(pts, xb, plats, n_sample=150):
@@ -192,6 +221,8 @@ def _measure_with_retries(attempts=4, timeout_s=240.0):
 
     ctx = mp.get_context("spawn")
     for attempt in range(attempts):
+        if attempt >= 2:
+            os.environ["CWBNWP_BENCH_NO_FETCH"] = "1"
         q = ctx.Queue()
         p = ctx.Process(target=_measure, args=(q,))
         p.start()
@@ -232,6 +263,7 @@ def main():
             "single_var_wall_s": round(walls["single_s"], 2),
             "cpu_core_var_points_per_s": round(cpu_core_pps, 1),
             "socket_cores": SOCKET_CORES,
+            "completion_barrier": walls.get("completion_barrier", "?"),
         },
     }))
 

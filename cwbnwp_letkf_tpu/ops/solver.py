@@ -42,8 +42,34 @@ import jax
 import jax.numpy as jnp
 
 
+_EIGH_BACKEND = "xla"
+
+
+def set_eigh_backend(name: str):
+    """Select the batched-eigh implementation: ``"xla"`` (default,
+    ``jnp.linalg.eigh``) or ``"jacobi"`` (the Pallas batch-vectorized cyclic
+    Jacobi kernel, ops/pallas_eigh.py; float32 only — float64 solves fall
+    back to XLA).  Clears jit caches so already-traced solve paths pick up
+    the switch (SURVEY.md section 7 step 6: Pallas kernels behind flags).
+    """
+    global _EIGH_BACKEND
+    if name not in ("xla", "jacobi"):
+        raise ValueError(f"unknown eigh backend {name!r}")
+    _EIGH_BACKEND = name
+    jax.clear_caches()
+
+
 def _eigh_batch(a):
-    """Batched symmetric eigendecomposition (ascending eigenvalues)."""
+    """Batched symmetric eigendecomposition.
+
+    The solver only forms ``V f(diag) V^T`` quantities, so eigenvalue order
+    is irrelevant — the Jacobi backend returns unsorted pairs.
+    """
+    if (_EIGH_BACKEND == "jacobi" and a.dtype == jnp.float32
+            and a.ndim == 3):
+        from .pallas_eigh import jacobi_eigh
+
+        return jacobi_eigh(a, interpret=jax.default_backend() == "cpu")
     return jnp.linalg.eigh(a)
 
 
