@@ -201,6 +201,16 @@ def _log(msg):
 
 def _measure(queue):
     """One full measurement, run in a child process (see main)."""
+    import jax
+
+    # Persistent compile cache: cold compiles through the remote-compile
+    # tunnel cost 60-120 s each; cached reloads take ~3 s (measured), which
+    # is the difference between fitting the watchdog and never finishing.
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     pts, xb, plats = build_case()
     _log("case built")
     single_pps, cycle_vpps, walls = bench_tpu(pts, xb, plats)
@@ -210,7 +220,7 @@ def _measure(queue):
     queue.put((single_pps, cycle_vpps, walls, cpu_core_pps))
 
 
-def _measure_with_retries(attempts=4, timeout_s=150.0):
+def _measure_with_retries(attempts=3, timeout_s=500.0):
     """Run the measurement in a child with a watchdog.
 
     The TPU tunnel intermittently wedges a process mid-transfer/compile
@@ -221,7 +231,10 @@ def _measure_with_retries(attempts=4, timeout_s=150.0):
 
     ctx = mp.get_context("spawn")
     for attempt in range(attempts):
-        if attempt >= 2:
+        if attempt >= 1:
+            # Retries start with warm compile caches; a hang at full budget
+            # was a tunnel wedge, so also drop the D2H completion fetch.
+            timeout_s = 300.0
             os.environ["CWBNWP_BENCH_NO_FETCH"] = "1"
         q = ctx.Queue()
         p = ctx.Process(target=_measure, args=(q,))

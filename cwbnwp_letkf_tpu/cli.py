@@ -42,6 +42,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--quiet", action="store_true")
     p.add_argument("--metrics-json", default=None,
                    help="write run metrics as one JSON line to this path")
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler trace of the update into "
+                        "this directory (view with XProf/TensorBoard)")
+    p.add_argument("--device-breakdown", action="store_true",
+                   help="measure per-stage device time (neighbor search / "
+                        "gather+whiten / eigh / weight apply) on a sample "
+                        "batch and include it in the metrics")
     return p
 
 
@@ -94,8 +101,12 @@ def main(argv=None) -> int:
 
         if len(jax.devices()) > 1:
             mesh = make_mesh()
-    run_analysis(cfg, ens, obs_data, mesh=mesh, chunk=args.chunk,
-                 timer=timer, metrics=metrics)
+    from .profiling import maybe_trace
+
+    with maybe_trace(args.profile_dir):
+        run_analysis(cfg, ens, obs_data, mesh=mesh, chunk=args.chunk,
+                     timer=timer, metrics=metrics,
+                     device_breakdown=args.device_breakdown)
     timer.stamp("finish letkf core")
 
     os.makedirs(args.output, exist_ok=True)

@@ -113,6 +113,7 @@ def run_analysis(
     timer: Optional[StageTimer] = None,
     fuse_variables: bool = True,
     metrics: Optional[RunMetrics] = None,
+    device_breakdown: bool = False,
 ) -> WrfEnsemble:
     """In-place LETKF analysis of ``ens`` for every ``var_update`` variable.
 
@@ -232,4 +233,21 @@ def run_analysis(
                           time.time() - t_grp)
 
     metrics.stage("update")
+
+    if device_breakdown:
+        # Per-stage device-time attribution on a sample of the first group's
+        # points (profiling.device_breakdown) — the reference offers only
+        # whole-stage wall clocks (mpi_util.f90:66-71).
+        from .profiling import device_breakdown as _breakdown
+
+        groups = _group_variables(cfg, platforms)
+        if groups:
+            ivar0, _, spec0 = groups[0][1][0]
+            pts, (ux, uy, uz) = points_for(spec0)
+            _, xb = read_xb(spec0, ux, uy, uz)
+            metrics.device_breakdown = _breakdown(
+                jnp.asarray(xb), jnp.asarray(pts), platforms, ivar0,
+                weight_function=cfg.weight_function,
+                inflat=(ens.k - 1) / infl.multi_infl[ivar0])
+            metrics.stage("device_breakdown")
     return ens

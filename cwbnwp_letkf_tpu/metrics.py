@@ -49,6 +49,8 @@ class RunMetrics:
     stages: Dict[str, float] = field(default_factory=dict)
     platforms: List[PlatformMetrics] = field(default_factory=list)
     groups: List[GroupMetrics] = field(default_factory=list)
+    #: optional per-stage device-time attribution (profiling.device_breakdown)
+    device_breakdown: Optional[Dict[str, float]] = None
     _t0: float = field(default_factory=time.time)
     _last: float = field(default_factory=time.time)
 
@@ -82,7 +84,7 @@ class RunMetrics:
         return sum(g.wall_s for g in self.groups)
 
     def to_dict(self) -> dict:
-        return {
+        out = {
             "stages_s": {k: round(v, 4) for k, v in self.stages.items()},
             "platforms": [
                 {"name": p.name, "kind": p.kind, "records": p.records,
@@ -102,6 +104,11 @@ class RunMetrics:
                 self.total_var_points / self.update_wall_s, 1)
             if self.update_wall_s else 0.0,
         }
+        if self.device_breakdown is not None:
+            out["device_breakdown"] = {
+                k: round(float(v), 6) for k, v in self.device_breakdown.items()
+            }
+        return out
 
     def to_json(self) -> str:
         return json.dumps(self.to_dict())

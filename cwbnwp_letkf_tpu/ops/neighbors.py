@@ -63,6 +63,7 @@ def normalize_coords(xyz, hclr_km: float, vclr_km: float):
     return xyz * scale
 
 
+@jax.named_scope("neighbor_search")
 def _chunk_neighbors(q, obs_t, obs_sq, n_max, r2_cap):
     """One chunk: q [C,3] against obs_t [3,N] -> capped top-k in-radius."""
     dtype = q.dtype

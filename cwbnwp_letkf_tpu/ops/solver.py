@@ -59,6 +59,7 @@ def set_eigh_backend(name: str):
     jax.clear_caches()
 
 
+@jax.named_scope("eigh")
 def _eigh_batch(a):
     """Batched symmetric eigendecomposition.
 
@@ -115,6 +116,7 @@ def letkf_weight_factors(yo, yb, inflat, *, solver_dtype=jnp.float32):
                                             solver_dtype=solver_dtype)
 
 
+@jax.named_scope("weight_apply")
 def apply_weight_factors(lam, v, g, xb, *, solver_dtype=jnp.float32):
     """Apply the factored weight transform to one analysis field.
 

@@ -88,6 +88,7 @@ def platform_obs_stats(
     return ObsStats(omm=omm, bg=bg, err=err, valid=qc_ok & ~rejected)
 
 
+@jax.named_scope("gather_whiten")
 def accumulate_platform_terms(
     nb: NeighborSet,
     stats: ObsStats,

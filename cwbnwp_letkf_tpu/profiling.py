@@ -1,0 +1,147 @@
+"""Profiling & device-time breakdown: the tracing layer the reference lacks.
+
+The reference's only instrumentation is root-rank wall-clock stage prints
+(timer(), /root/reference/module_mpi_util.f90:66-71, used at
+cwb_letkf.f90:25-80) — no per-kernel view at all.  Here:
+
+* :func:`maybe_trace` captures a ``jax.profiler`` trace (viewable in
+  XProf/TensorBoard) around any region when a directory is given;
+* the hot ops are wrapped in ``jax.named_scope`` (ops/neighbors.py,
+  ops/whiten.py, ops/solver.py) so the trace attributes device time to
+  ``neighbor_search`` / ``gather_whiten`` / ``eigh`` / ``weight_apply``
+  instead of anonymous fusions;
+* :func:`device_breakdown` measures that same split without any profiler
+  infrastructure by re-running each pipeline stage on a sample batch with a
+  completion barrier — a quick answer to "where does the cycle's device time
+  go" that works on CPU and TPU alike.
+"""
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Dict, Optional, Sequence
+
+
+@contextlib.contextmanager
+def maybe_trace(profile_dir: Optional[str]):
+    """``jax.profiler.trace(profile_dir)`` when a directory is given, else a
+    no-op.  The captured trace carries the named scopes below."""
+    if not profile_dir:
+        yield
+        return
+    import jax
+
+    with jax.profiler.trace(profile_dir):
+        yield
+
+
+def _sync(x):
+    import jax
+
+    return jax.block_until_ready(x)
+
+
+def _best_of(fn, reps: int = 3) -> float:
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _sync(fn())
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def device_breakdown(
+    xb,
+    points_xyz,
+    platforms: Sequence,
+    ivar: int = 0,
+    *,
+    weight_function: int = 0,
+    inflat: Optional[float] = None,
+    sample: int = 4096,
+    reps: int = 3,
+) -> Dict[str, float]:
+    """Per-stage device time on a ``sample``-point batch (seconds, best-of).
+
+    Stages mirror the update pipeline (ops/update.py): ``neighbor_search``
+    (batched distance + top-k per platform), ``gather_whiten`` (obs gather +
+    R-localized whitening + normal-term einsums), ``eigh`` (the batched
+    k-by-k eigendecomposition), ``weight_apply`` (weight transform +
+    relaxation).  Each stage is timed with its inputs already device-resident
+    and a completion barrier, so the numbers are additive estimates of the
+    fused pipeline's cost attribution (XLA fusion across stages makes the
+    true fused total slightly cheaper than the sum).
+    """
+    import jax.numpy as jnp
+
+    from .ops.neighbors import normalize_coords, radius_neighbors
+    from .ops.solver import (apply_weight_factors,
+                             letkf_weight_factors_from_normal)
+    from .ops.whiten import accumulate_platform_terms
+
+    xb = jnp.asarray(xb)[:sample]
+    q = jnp.asarray(points_xyz)[:sample]
+    b, k = xb.shape
+    if inflat is None:
+        inflat = float(k - 1)
+
+    active = [dp for dp in platforms
+              if dp.static.active(ivar) and dp.xyz.shape[0] > 0]
+    if not active:
+        raise ValueError("no active platform for this variable")
+
+    out: Dict[str, float] = {}
+
+    # -- neighbor_search ---------------------------------------------------
+    obs_norm = [
+        _sync(normalize_coords(dp.xyz, dp.static.hclr[ivar],
+                               dp.static.vclr[ivar]))
+        for dp in active
+    ]
+    q_norm = [
+        _sync(normalize_coords(q, dp.static.hclr[ivar], dp.static.vclr[ivar]))
+        for dp in active
+    ]
+
+    def run_neighbors():
+        return [
+            radius_neighbors(qn, on, n_max=dp.static.max_lz_pts, chunk=b)
+            for dp, qn, on in zip(active, q_norm, obs_norm)
+        ]
+
+    nbs = _sync(run_neighbors())
+    out["neighbor_search_s"] = _best_of(run_neighbors, reps)
+
+    # -- gather_whiten -----------------------------------------------------
+    def run_whiten():
+        a = jnp.zeros((b, k, k), jnp.float32)
+        g = jnp.zeros((b, k), jnp.float32)
+        for dp, nb in zip(active, nbs):
+            a_p, g_p, _ = accumulate_platform_terms(
+                nb, dp.stats, dp.static.assim_mask(ivar), weight_function)
+            a, g = a + a_p, g + g_p
+        return a, g
+
+    a_obs, g = _sync(run_whiten())
+    out["gather_whiten_s"] = _best_of(run_whiten, reps)
+
+    # -- eigh ----------------------------------------------------------------
+    def run_eigh():
+        return letkf_weight_factors_from_normal(a_obs, g, inflat)
+
+    lam, v, g2 = _sync(run_eigh())
+    out["eigh_s"] = _best_of(run_eigh, reps)
+
+    # -- weight_apply --------------------------------------------------------
+    def run_apply():
+        return apply_weight_factors(lam, v, g2, xb)
+
+    _sync(run_apply())
+    out["weight_apply_s"] = _best_of(run_apply, reps)
+
+    total = sum(out.values())
+    out["total_s"] = total
+    out["points"] = b
+    for name in ("neighbor_search", "gather_whiten", "eigh", "weight_apply"):
+        out[f"{name}_frac"] = (out[f"{name}_s"] / total) if total else 0.0
+    return out
