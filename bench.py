@@ -56,7 +56,7 @@ def build_case():
 N_VARS = 16  # production cycle updates 16 variables (input.nml:7)
 
 
-def _best_of(run, n=2):
+def _best_of(run, n=1):
     """Best steady wall time of ``n`` passes (tunnel timing is noisy)."""
     best = float("inf")
     for _ in range(n):
@@ -220,7 +220,7 @@ def _measure(queue):
     queue.put((single_pps, cycle_vpps, walls, cpu_core_pps))
 
 
-def _measure_with_retries(attempts=3, timeout_s=500.0):
+def _measure_with_retries(attempts=3, timeout_s=520.0):
     """Run the measurement in a child with a watchdog.
 
     The TPU tunnel intermittently wedges a process mid-transfer/compile

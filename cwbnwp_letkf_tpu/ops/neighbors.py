@@ -70,7 +70,10 @@ def _chunk_neighbors(q, obs_t, obs_sq, n_max, r2_cap):
     # |q-o|^2 = |q|^2 + |o|^2 - 2 q.o ; coords are pre-centered (see
     # radius_neighbors) so the f32 cancellation stays benign.
     qsq = jnp.sum(q * q, axis=-1, keepdims=True)
-    dots = jnp.dot(q, obs_t, preferred_element_type=dtype)
+    # HIGHEST: TPU would otherwise do the multiply in bf16, mis-ranking
+    # neighbors near the radius and shifting exp(r^2)-based weights by ~1%.
+    dots = jnp.dot(q, obs_t, precision=jax.lax.Precision.HIGHEST,
+                   preferred_element_type=dtype)
     r2 = jnp.maximum(qsq + obs_sq[None, :] - 2.0 * dots, 0.0)
     neg = jnp.where(r2 <= r2_cap, -r2, -jnp.inf)
     vals, idx = jax.lax.top_k(neg, n_max)

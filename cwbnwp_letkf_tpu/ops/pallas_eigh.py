@@ -45,10 +45,11 @@ def _jacobi_kernel(pq_ref, a_ref, lam_ref, v_ref, a_s, v_s, *, k: int,
     """
     # Batch-last relayout: every rotation update becomes [*, LANES] slabs.
     a_s[:] = jnp.transpose(a_ref[:], (1, 2, 0))
-    eye = (jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
-           == jax.lax.broadcasted_iota(jnp.int32, (k, k), 1))
-    v_s[:] = jnp.broadcast_to(
-        eye.astype(a_s.dtype)[:, :, None], (k, k, LANES))
+    # 3-D iota comparison: Mosaic cannot reshape an i1 vector to add a minor
+    # dim, so build the broadcast identity directly at [k, k, LANES].
+    eye3 = (jax.lax.broadcasted_iota(jnp.int32, (k, k, LANES), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (k, k, LANES), 1))
+    v_s[:] = eye3.astype(a_s.dtype)
 
     n_rot = (k * (k - 1)) // 2
     tiny = jnp.asarray(1e-30, a_s.dtype)
@@ -92,15 +93,16 @@ def _jacobi_kernel(pq_ref, a_ref, lam_ref, v_ref, a_s, v_s, *, k: int,
                       lambda i, carry: rotate(i % n_rot, carry), 0)
 
     a_fin = a_s[:]                               # [k, k, LANES]
-    diag = (jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
-            == jax.lax.broadcasted_iota(jnp.int32, (k, k), 1))
-    lam = jnp.sum(jnp.where(diag[:, :, None], a_fin, 0.0), axis=1)  # [k,LANES]
+    diag3 = (jax.lax.broadcasted_iota(jnp.int32, (k, k, LANES), 0)
+             == jax.lax.broadcasted_iota(jnp.int32, (k, k, LANES), 1))
+    lam = jnp.sum(jnp.where(diag3, a_fin, 0.0), axis=1)            # [k,LANES]
     lam_ref[:] = jnp.transpose(lam, (1, 0))
     v_ref[:] = jnp.transpose(v_s[:], (2, 0, 1))
 
 
-@functools.partial(jax.jit, static_argnames=("sweeps", "interpret"))
-def jacobi_eigh(a, *, sweeps: int = 10, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("sweeps", "interpret", "polish"))
+def jacobi_eigh(a, *, sweeps: int = 10, interpret: bool = False,
+                polish: bool = True):
     """Batched symmetric eigendecomposition, Jacobi-in-Pallas.
 
     Args:
@@ -108,6 +110,12 @@ def jacobi_eigh(a, *, sweeps: int = 10, interpret: bool = False):
       sweeps: cyclic Jacobi sweeps; 10 reaches float32 machine precision for
         k <= 100 (off-diagonal decays quadratically).
       interpret: run in the Pallas interpreter (CPU testing).
+      polish: one Newton orthogonalization of V (``V(3I - V^T V)/2``) plus a
+        Rayleigh recompute of the eigenvalues (``diag(V^T A V)``) after the
+        sweeps.  The k*(k-1)/2-per-sweep sequential rotations accumulate
+        float32 (and on TPU, low-precision rsqrt) rounding in V; the polish
+        is 4 batched MXU matmuls and cuts the reconstruction error ~10x
+        (measured), at negligible cost next to the sweeps.
 
     Returns ``(lam [B, k], v [B, k, k])``, unsorted; ``a ~= v diag(lam) v^T``.
     """
@@ -143,4 +151,19 @@ def jacobi_eigh(a, *, sweeps: int = 10, interpret: bool = False):
         ],
         interpret=interpret,
     )(pq, a)
-    return lam[:b], v[:b]
+    lam, v = lam[:b], v[:b]
+    if polish:
+        # Full-f32 multiplies: TPU matmuls default to bf16 inputs, which
+        # would *undo* the sweeps' precision instead of refining it.
+        hi = jax.lax.Precision.HIGHEST
+        a = a[:b]
+        eye = jnp.eye(k, dtype=a.dtype)
+        vtv = jnp.einsum("bki,bkj->bij", v, v, precision=hi,
+                         preferred_element_type=a.dtype)
+        v = jnp.einsum("bij,bjk->bik", v, 1.5 * eye - 0.5 * vtv,
+                       precision=hi, preferred_element_type=a.dtype)
+        av = jnp.einsum("bij,bjk->bik", a, v, precision=hi,
+                        preferred_element_type=a.dtype)
+        lam = jnp.einsum("bki,bki->bi", v, av, precision=hi,
+                         preferred_element_type=a.dtype)
+    return lam, v

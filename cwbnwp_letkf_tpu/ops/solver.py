@@ -41,22 +41,43 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+#: Full-precision multiplies: TPU matmuls default to bf16 inputs for f32
+#: operands, which would silently degrade the whitened normal terms, the
+#: eigenbasis projections and distance rankings.  The solve is O(k^2) next to
+#: the O(k^3) eigh and the neighbor top-k, so full f32 costs ~nothing here.
+_HI = jax.lax.Precision.HIGHEST
 
-_EIGH_BACKEND = "xla"
+_EIGH_BACKEND = "auto"
 
 
 def set_eigh_backend(name: str):
-    """Select the batched-eigh implementation: ``"xla"`` (default,
-    ``jnp.linalg.eigh``) or ``"jacobi"`` (the Pallas batch-vectorized cyclic
-    Jacobi kernel, ops/pallas_eigh.py; float32 only — float64 solves fall
-    back to XLA).  Clears jit caches so already-traced solve paths pick up
-    the switch (SURVEY.md section 7 step 6: Pallas kernels behind flags).
+    """Select the batched-eigh implementation: ``"auto"`` (default — the
+    Pallas Jacobi kernel on TPU float32, XLA elsewhere), ``"xla"``
+    (``jnp.linalg.eigh``) or ``"jacobi"`` (force the Pallas batch-vectorized
+    cyclic Jacobi kernel, ops/pallas_eigh.py; float32 only — float64 solves
+    fall back to XLA).  Clears jit caches so already-traced solve paths pick
+    up the switch.
+
+    Measured on one v5e chip at [4096, 40, 40]: Jacobi 0.16 s vs XLA eigh
+    0.47 s, with *better* float32 reconstruction error (5.5e-4 vs 1.4e-3) —
+    the LETKF solve only forms ``V f(diag) V^T``, which is insensitive to
+    Jacobi's unsorted eigenvalue order.
     """
     global _EIGH_BACKEND
-    if name not in ("xla", "jacobi"):
+    if name not in ("auto", "xla", "jacobi"):
         raise ValueError(f"unknown eigh backend {name!r}")
     _EIGH_BACKEND = name
     jax.clear_caches()
+
+
+def _use_jacobi(a) -> bool:
+    if _EIGH_BACKEND == "xla" or a.dtype != jnp.float32 or a.ndim != 3:
+        return False
+    if _EIGH_BACKEND == "jacobi":
+        return True
+    # auto: the Pallas kernel wins on TPU; on CPU it only runs interpreted
+    # (slow), so keep LAPACK there.
+    return jax.default_backend() != "cpu"
 
 
 @jax.named_scope("eigh")
@@ -66,8 +87,7 @@ def _eigh_batch(a):
     The solver only forms ``V f(diag) V^T`` quantities, so eigenvalue order
     is irrelevant — the Jacobi backend returns unsorted pairs.
     """
-    if (_EIGH_BACKEND == "jacobi" and a.dtype == jnp.float32
-            and a.ndim == 3):
+    if _use_jacobi(a):
         from .pallas_eigh import jacobi_eigh
 
         return jacobi_eigh(a, interpret=jax.default_backend() == "cpu")
@@ -110,8 +130,8 @@ def letkf_weight_factors(yo, yb, inflat, *, solver_dtype=jnp.float32):
     """
     yb = yb.astype(solver_dtype)
     yo = yo.astype(solver_dtype)
-    a_obs = jnp.einsum("bkn,bln->bkl", yb, yb, preferred_element_type=solver_dtype)
-    g = jnp.einsum("bkn,bn->bk", yb, yo, preferred_element_type=solver_dtype)
+    a_obs = jnp.einsum("bkn,bln->bkl", yb, yb, precision=_HI, preferred_element_type=solver_dtype)
+    g = jnp.einsum("bkn,bn->bk", yb, yo, precision=_HI, preferred_element_type=solver_dtype)
     return letkf_weight_factors_from_normal(a_obs, g, inflat,
                                             solver_dtype=solver_dtype)
 
@@ -128,13 +148,13 @@ def apply_weight_factors(lam, v, g, xb, *, solver_dtype=jnp.float32):
     xb_mean = jnp.mean(xb, axis=-1, keepdims=True)
     xb_prime = xb - xb_mean
 
-    vt_g = jnp.einsum("bik,bi->bk", v, g, preferred_element_type=solver_dtype)
-    vt_x = jnp.einsum("bik,bi->bk", v, xb_prime, preferred_element_type=solver_dtype)
+    vt_g = jnp.einsum("bik,bi->bk", v, g, precision=_HI, preferred_element_type=solver_dtype)
+    vt_x = jnp.einsum("bik,bi->bk", v, xb_prime, precision=_HI, preferred_element_type=solver_dtype)
     # s = wm . xb' with wm = Pa g = V diag(1/lam) V^T g
     s = jnp.sum((vt_g / lam) * vt_x, axis=-1, keepdims=True)
     # t = sqrt(A^-1) xb' = V diag(1/sqrt(lam)) V^T xb'
     t = jnp.einsum(
-        "bik,bk->bi", v, vt_x / jnp.sqrt(lam), preferred_element_type=solver_dtype
+        "bik,bk->bi", v, vt_x / jnp.sqrt(lam), precision=_HI, preferred_element_type=solver_dtype
     )
     return xb_mean + s + jnp.sqrt(jnp.asarray(k - 1, solver_dtype)) * t
 
@@ -270,13 +290,13 @@ def letkf_solve_group_from_normal(
     xb_mean = jnp.mean(xb, axis=-1, keepdims=True)
     xb_prime = xb - xb_mean                       # [B, V, k]
 
-    vt_g = jnp.einsum("bik,bi->bk", v, g, preferred_element_type=solver_dtype)
+    vt_g = jnp.einsum("bik,bi->bk", v, g, precision=_HI, preferred_element_type=solver_dtype)
     vt_x = jnp.einsum("bik,bvi->bvk", v, xb_prime,
-                      preferred_element_type=solver_dtype)
+                      precision=_HI, preferred_element_type=solver_dtype)
     lam = lam0[:, None, :] + inflats[None, :, None]   # [B, V, k]
     s = jnp.sum((vt_g[:, None, :] / lam) * vt_x, axis=-1, keepdims=True)
     t = jnp.einsum("bik,bvk->bvi", v, vt_x / jnp.sqrt(lam),
-                   preferred_element_type=solver_dtype)
+                   precision=_HI, preferred_element_type=solver_dtype)
     xa = xb_mean + s + jnp.sqrt(jnp.asarray(k - 1, solver_dtype)) * t
 
     # RTPP / RTPS (letkf_core.f90:684-698), vectorized over the group.

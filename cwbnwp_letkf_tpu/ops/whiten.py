@@ -24,6 +24,9 @@ import jax.numpy as jnp
 from ..localization import obs_error_inv_weight
 from .neighbors import NeighborSet
 
+#: full-f32 multiplies (TPU matmuls default to bf16 for f32 inputs)
+_HI = jax.lax.Precision.HIGHEST
+
 
 class ObsStats(NamedTuple):
     """Per-observation (gridpoint-independent) preprocessed quantities.
@@ -150,8 +153,8 @@ def accumulate_platform_terms(
     yb = bg.astype(solver_dtype) * einv[..., None]                   # [B, Vn, k]
 
     a_obs = jnp.einsum("bnk,bnl->bkl", yb, yb,
-                       preferred_element_type=solver_dtype)
+                       precision=_HI, preferred_element_type=solver_dtype)
     g = jnp.einsum("bnk,bn->bk", yb, yo,
-                   preferred_element_type=solver_dtype)
+                   precision=_HI, preferred_element_type=solver_dtype)
     count = jnp.sum(val, axis=-1, dtype=jnp.int32)
     return a_obs, g, count

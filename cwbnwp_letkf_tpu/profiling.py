@@ -36,9 +36,19 @@ def maybe_trace(profile_dir: Optional[str]):
 
 
 def _sync(x):
+    """Completion barrier that works through the remote-execution tunnel.
+
+    ``block_until_ready`` is only a dispatch barrier on tunneled backends
+    (see bench.py); fetching one element of every output buffer to the host
+    forces actual execution to finish.
+    """
     import jax
 
-    return jax.block_until_ready(x)
+    jax.block_until_ready(x)
+    for leaf in jax.tree_util.tree_leaves(x):
+        if hasattr(leaf, "ravel"):
+            jax.device_get(leaf.ravel()[:1])
+    return x
 
 
 def _best_of(fn, reps: int = 3) -> float:
