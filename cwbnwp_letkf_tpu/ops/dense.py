@@ -1,0 +1,206 @@
+"""Dense localization-weighted normal-term accumulation (MXU path).
+
+The gather path (ops/neighbors.py + ops/whiten.py) mirrors the reference's
+kd-tree-then-assemble structure (/root/reference/module_localization.f90:188-331,
+module_letkf_core.f90:300-595): per-gridpoint top-k neighbor selection followed
+by a gather of the selected obs columns.  On TPU both primitives are slow —
+``lax.top_k`` over a 20k-obs platform costs ~170x the distance matmul itself,
+and row gathers run near one element per cycle.
+
+This module removes both, exploiting that the whitened normal terms are
+*separable* in (gridpoint, obs).  With ``einv = w(r) * valid / err``
+(module_letkf_core.f90:439-450: Gaussian ``w^2 = exp(-r2/2)``, Gaspari-Cohn
+``w^2 = GC(r)``), the per-point solve inputs are
+
+    a_obs[b] = sum_{v,o} einv^2 * bg_vo bg_vo^T = sum_o G(r2_bo) * BGBG[o]
+    g[b]     = sum_{v,o} einv^2 * omm_vo bg_vo  = sum_o G(r2_bo) * OMBG[o]
+
+where ``BGBG[o] = sum_v E_vo bg_vo bg_vo^T``, ``OMBG[o] = sum_v E_vo omm_vo
+bg_vo`` and ``E = (valid & assim) / err^2`` fold every gridpoint-independent
+factor — QC, rejection, assimilation mask, error scaling, even the observed-
+variable axis — into tables built once per (platform, variable group).  The
+per-chunk work is then ONE ``[C, R] @ [R, k*(k+1)]`` matmul: MXU speed-of-light
+instead of top-k + gather.
+
+The ``max_lz_pts`` cap (config.f90:9,30) becomes a per-row localization-radius
+threshold: the largest ``t <= gc1999^2`` with ``#{o : r2_bo <= t} <= n_max``,
+found by vectorized multisection on the distance matrix (a few cheap masked-
+count passes).  Documented divergence (shared with ops/neighbors.py): where
+kdtree2 keeps an *arbitrary* ``max_lz_pts``-subset of in-radius obs
+(module_kdtree2.f90:1696-1706), this path keeps the nearest-by-radius subset;
+obs tied within the multisection resolution (~cap * 8^-8) of the final
+threshold may be excluded, so the kept count is <= n_max, matching the gather
+path except at such ties.  Results are identical whenever the cap is not hit.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import GC1999_SQ
+from ..localization import WEIGHT_GC1999, gaspari_cohn_1999
+from .whiten import ObsStats
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+class DenseTables(NamedTuple):
+    """Per-obs-record tables for one (platform, variable group).
+
+    Shapes (R = records, k = members):
+      bgbg:   [R, k*k]  ``sum_v E_vr * bg_vr bg_vr^T`` (row-major flattened)
+      ombg:   [R, k]    ``sum_v E_vr * omm_vr bg_vr``
+      nvalid: [R]       number of accepted (valid & assimilated) obs per
+                        record — the reference's per-obs contribution to
+                        ``total`` (letkf_core.f90:455)
+    """
+
+    bgbg: jax.Array
+    ombg: jax.Array
+    nvalid: jax.Array
+
+
+def platform_dense_tables(
+    stats: ObsStats,
+    assim_v: Tuple[bool, ...],
+    *,
+    solver_dtype=jnp.float32,
+) -> DenseTables:
+    """Fold QC/assimilation/error scaling into per-record outer products.
+
+    ``E_vr = (valid & assim_v) / err^2`` absorbs everything the whitening
+    applies except the distance weight (module_letkf_core.f90:429-450); the
+    observed-variable axis V is contracted away entirely, so platforms with
+    several observed variables (e.g. surface u,v,t,p,q) cost the same per
+    chunk as single-variable ones.
+    """
+    active = jnp.asarray(assim_v, bool)
+    if stats.omm.shape[0] != active.shape[0]:
+        raise ValueError(
+            f"assim mask has {active.shape[0]} vars, stats have "
+            f"{stats.omm.shape[0]}")
+    valid = stats.valid & active[:, None]                      # [V, R]
+    err = stats.err.astype(solver_dtype)
+    e = jnp.where(valid, 1.0 / (err * err), 0.0)               # [V, R]
+    bg = stats.bg.astype(solver_dtype)                         # [V, R, K]
+    omm = stats.omm.astype(solver_dtype)                       # [V, R]
+
+    ebg = e[..., None] * bg
+    bgbg = jnp.einsum("vrk,vrl->rkl", ebg, bg,
+                      precision=_HI, preferred_element_type=solver_dtype)
+    ombg = jnp.einsum("vr,vrk->rk", omm, ebg,
+                      precision=_HI, preferred_element_type=solver_dtype)
+    k = bg.shape[-1]
+    return DenseTables(
+        bgbg=bgbg.reshape(-1, k * k),
+        ombg=ombg,
+        nvalid=jnp.sum(valid, axis=0, dtype=jnp.int32),
+    )
+
+
+def _cap_threshold(r2, n_max: int, r2_cap: float, *, splits: int = 8,
+                   rounds: int = 8):
+    """Largest per-row threshold ``t <= r2_cap`` with ``#(r2 <= t) <= n_max``.
+
+    Vectorized multisection: each round counts ``splits`` candidate
+    thresholds in one masked-sum pass over ``r2`` (memory-bound, so counting
+    several candidates per pass is ~free) and narrows the bracket by
+    ``splits``x.  Resolution after ``rounds``: ``r2_cap * splits**-rounds``
+    (~8e-7 relative at the defaults).  The invariant ``count(lo) <= n_max``
+    holds throughout (lo starts below every distance), so the returned
+    threshold never overshoots the cap.
+    """
+    dtype = r2.dtype
+    # derive from r2 so the carry stays device-varying under shard_map
+    lo = jnp.full_like(r2[:, 0], -1.0)
+    hi = jnp.full_like(r2[:, 0], r2_cap)
+
+    over = jnp.sum(r2 <= r2_cap, axis=-1) > n_max              # [B]
+
+    def round_fn(_, lohi):
+        lo, hi = lohi
+        # candidate thresholds: lo + j/splits * (hi - lo), j = 1..splits-1
+        frac = (jnp.arange(1, splits, dtype=dtype) / splits)   # [S-1]
+        cand = lo[:, None] + frac[None, :] * (hi - lo)[:, None]   # [B, S-1]
+        counts = jnp.sum(
+            r2[:, None, :] <= cand[:, :, None], axis=-1)       # [B, S-1]
+        ok = counts <= n_max                                    # monotone
+        n_ok = jnp.sum(ok, axis=-1)                             # [B]
+        all_c = jnp.concatenate([lo[:, None], cand], axis=1)    # [B, S]
+        new_lo = jnp.take_along_axis(all_c, n_ok[:, None], axis=1)[:, 0]
+        hi_c = jnp.concatenate([cand, hi[:, None]], axis=1)     # [B, S]
+        new_hi = jnp.take_along_axis(hi_c, n_ok[:, None], axis=1)[:, 0]
+        return new_lo, new_hi
+
+    lo, hi = jax.lax.fori_loop(0, rounds, round_fn, (lo, hi))
+    return jnp.where(over, lo, jnp.asarray(r2_cap, dtype))
+
+
+@jax.named_scope("dense_localize")
+def dense_platform_terms(
+    q_norm,
+    obs_norm,
+    tables: DenseTables,
+    *,
+    n_max: int,
+    weight_function: int,
+    r2_cap: float = GC1999_SQ,
+    solver_dtype=jnp.float32,
+):
+    """Accumulate one platform's normal terms for a chunk of gridpoints.
+
+    Args:
+      q_norm:   ``[C, 3]`` localization-normalized query coordinates.
+      obs_norm: ``[R, 3]`` localization-normalized obs coordinates
+                (same per-variable scaling; ops/neighbors.normalize_coords).
+      tables:   output of :func:`platform_dense_tables` for this variable
+                group's assimilation mask.
+      n_max:    the platform's ``max_lz_pts`` cap.
+      weight_function: Gaussian (!=1) or Gaspari-Cohn (1)
+                (module_letkf_core.f90:443).
+
+    Returns ``(a_obs [C, k, k], g [C, k], count [C])`` — exactly the
+    quantities ops/whiten.accumulate_platform_terms produces, with identical
+    semantics (see module docstring for the cap-tie divergence).
+    """
+    q = jnp.asarray(q_norm)
+    obs = jnp.asarray(obs_norm, q.dtype)
+    c, r = q.shape[0], obs.shape[0]
+    kk = tables.bgbg.shape[-1]
+    k = tables.ombg.shape[-1]
+
+    # centered squared distances via one matmul (see ops/neighbors.py)
+    center = (jnp.mean(obs, axis=0, keepdims=True) if r
+              else jnp.zeros((1, 3), q.dtype))
+    qc = q - center
+    oc = obs - center
+    dots = jnp.dot(qc, oc.T, precision=_HI, preferred_element_type=q.dtype)
+    r2 = jnp.maximum(
+        jnp.sum(qc * qc, axis=-1, keepdims=True)
+        + jnp.sum(oc * oc, axis=-1)[None, :] - 2.0 * dots, 0.0)   # [C, R]
+
+    if r > n_max:
+        t = _cap_threshold(r2, n_max, r2_cap)[:, None]
+    else:
+        t = jnp.asarray(r2_cap, r2.dtype)
+    sel = r2 <= t                                                  # [C, R]
+
+    if weight_function == WEIGHT_GC1999:
+        w2 = gaspari_cohn_1999(jnp.sqrt(r2))
+    else:
+        w2 = jnp.exp(-0.5 * r2)          # (exp(0.25*r2))^-2, letkf_core.f90:444
+    gm = jnp.where(sel, w2, 0.0).astype(solver_dtype)              # [C, R]
+
+    fused = jnp.concatenate(
+        [tables.bgbg, tables.ombg], axis=-1)                       # [R, kk+k]
+    out = jnp.dot(gm, fused.astype(solver_dtype),
+                  precision=_HI, preferred_element_type=solver_dtype)
+    a_obs = out[:, :kk].reshape(c, k, k)
+    g = out[:, kk:]
+    count = jnp.dot(sel.astype(jnp.float32),
+                    tables.nvalid.astype(jnp.float32),
+                    precision=_HI,
+                    preferred_element_type=jnp.float32).astype(jnp.int32)
+    return a_obs, g, count

@@ -20,9 +20,19 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..obs.base import PlatformObs, PlatformStatic
+from .dense import dense_platform_terms, platform_dense_tables
 from .neighbors import normalize_coords, radius_neighbors
 from .solver import letkf_solve_from_normal, letkf_solve_group_from_normal
 from .whiten import ObsStats, accumulate_platform_terms, platform_obs_stats
+
+#: normal-term accumulation backends:
+#: "dense"  — one MXU matmul against per-record outer-product tables
+#:            (ops/dense.py; the fast path on TPU);
+#: "gather" — top-k neighbor search + obs gather (ops/neighbors.py +
+#:            ops/whiten.py; mirrors the reference's kd-tree structure).
+#: Identical results whenever the obs cap is not hit; at the cap both keep
+#: the nearest subset, differing only at distance ties (see ops/dense.py).
+ACCUMULATE_METHODS = ("dense", "gather")
 
 
 class DevicePlatform(NamedTuple):
@@ -71,6 +81,7 @@ def update_points(
     rtps_alpha: float = 0.85,
     solver_dtype=jnp.float32,
     chunk: int = 4096,
+    method: str = "dense",
 ):
     """LETKF-update analysis variable ``ivar`` at ``B`` points.
 
@@ -83,6 +94,7 @@ def update_points(
                   per-variable config table (the reference convention).
       inflat:     ``(k-1)/multi_infl(ivar)`` (letkf_core.f90:68).
       chunk:      points per device batch (bounds peak memory).
+      method:     normal-term accumulation backend (ACCUMULATE_METHODS).
 
     Returns ``xa`` ``[B, k]``; points with no accepted local obs keep their
     background (letkf_core.f90:220-234).
@@ -94,6 +106,8 @@ def update_points(
         raise ValueError(
             f"points_xyz must be [{b}, 3] to match xb {xb.shape}, "
             f"got {q.shape}")
+    if method not in ACCUMULATE_METHODS:
+        raise ValueError(f"method must be one of {ACCUMULATE_METHODS}")
 
     active: List[Tuple[DevicePlatform, jax.Array]] = []
     for dp in platforms:
@@ -104,6 +118,14 @@ def update_points(
     if not active:
         return xb  # build_tree fails for every platform -> variable skipped
                    # (letkf_core.f90:63-66)
+
+    # per-(platform, variable) tables, chunk-independent (ops/dense.py)
+    tables = [
+        platform_dense_tables(dp.stats, dp.static.assim_mask(ivar),
+                              solver_dtype=solver_dtype)
+        if method == "dense" else None
+        for dp, _ in active
+    ]
 
     chunk = min(chunk, max(b, 1))
     n_chunks = -(-b // chunk)
@@ -116,13 +138,20 @@ def update_points(
         a_obs = jnp.zeros((chunk, k, k), solver_dtype)
         g = jnp.zeros((chunk, k), solver_dtype)
         cnt = jnp.zeros((chunk,), jnp.int32)
-        for dp, on in active:
+        for (dp, on), tab in zip(active, tables):
             st = dp.static
             qn = normalize_coords(qc, st.hclr[ivar], st.vclr[ivar])
-            nb = radius_neighbors(qn, on, n_max=st.max_lz_pts, chunk=chunk)
-            a_p, g_p, c_p = accumulate_platform_terms(
-                nb, dp.stats, st.assim_mask(ivar), weight_function,
-                solver_dtype=solver_dtype)
+            if method == "dense":
+                a_p, g_p, c_p = dense_platform_terms(
+                    qn, on, tab, n_max=st.max_lz_pts,
+                    weight_function=weight_function,
+                    solver_dtype=solver_dtype)
+            else:
+                nb = radius_neighbors(qn, on, n_max=st.max_lz_pts,
+                                      chunk=chunk)
+                a_p, g_p, c_p = accumulate_platform_terms(
+                    nb, dp.stats, st.assim_mask(ivar), weight_function,
+                    solver_dtype=solver_dtype)
             a_obs = a_obs + a_p
             g = g + g_p
             cnt = cnt + c_p
@@ -151,6 +180,7 @@ def update_points_group(
     rtps_alpha: Sequence[float],
     solver_dtype=jnp.float32,
     chunk: int = 4096,
+    method: str = "dense",
 ):
     """Fused LETKF update of a *group* of analysis variables at ``B`` points.
 
@@ -185,6 +215,8 @@ def update_points_group(
     if not (len(ivars) == len(inflats) == len(rtpp_alpha)
             == len(rtps_alpha) == n_vars):
         raise ValueError("per-variable arg lengths must match xb's V axis")
+    if method not in ACCUMULATE_METHODS:
+        raise ValueError(f"method must be one of {ACCUMULATE_METHODS}")
     iv0 = ivars[0]
 
     active: List[Tuple[DevicePlatform, jax.Array]] = []
@@ -195,6 +227,13 @@ def update_points_group(
             active.append((dp, on))
     if not active:
         return xb
+
+    tables = [
+        platform_dense_tables(dp.stats, dp.static.assim_mask(iv0),
+                              solver_dtype=solver_dtype)
+        if method == "dense" else None
+        for dp, _ in active
+    ]
 
     inflats = tuple(float(x) for x in inflats)
     rtpp_alpha = tuple(float(x) for x in rtpp_alpha)
@@ -211,13 +250,20 @@ def update_points_group(
         a_obs = jnp.zeros((chunk, k, k), solver_dtype)
         g = jnp.zeros((chunk, k), solver_dtype)
         cnt = jnp.zeros((chunk,), jnp.int32)
-        for dp, on in active:
+        for (dp, on), tab in zip(active, tables):
             st = dp.static
             qn = normalize_coords(qc, st.hclr[iv0], st.vclr[iv0])
-            nb = radius_neighbors(qn, on, n_max=st.max_lz_pts, chunk=chunk)
-            a_p, g_p, c_p = accumulate_platform_terms(
-                nb, dp.stats, st.assim_mask(iv0), weight_function,
-                solver_dtype=solver_dtype)
+            if method == "dense":
+                a_p, g_p, c_p = dense_platform_terms(
+                    qn, on, tab, n_max=st.max_lz_pts,
+                    weight_function=weight_function,
+                    solver_dtype=solver_dtype)
+            else:
+                nb = radius_neighbors(qn, on, n_max=st.max_lz_pts,
+                                      chunk=chunk)
+                a_p, g_p, c_p = accumulate_platform_terms(
+                    nb, dp.stats, st.assim_mask(iv0), weight_function,
+                    solver_dtype=solver_dtype)
             a_obs = a_obs + a_p
             g = g + g_p
             cnt = cnt + c_p
