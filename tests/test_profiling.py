@@ -23,7 +23,7 @@ def _case(k=8, nobs=60):
 def test_device_breakdown_stages_positive_and_additive():
     pts, xb, plats = _case()
     out = device_breakdown(xb, pts, plats, 0, sample=256, reps=1)
-    stages = ["neighbor_search", "gather_whiten", "eigh", "weight_apply"]
+    stages = ["localize_accumulate", "eigh", "weight_apply"]
     for s in stages:
         assert out[f"{s}_s"] > 0.0
         assert 0.0 <= out[f"{s}_frac"] <= 1.0
