@@ -9,6 +9,15 @@ cyclic two-sided Jacobi **vectorized across the batch**: matrices are held
 in VMEM batch-last ``[k, k, 128]`` so every (p, q) rotation is an elementwise
 update over 128 lanes — VPU-shaped with zero cross-lane traffic.
 
+VMEM discipline (the round-1 kernel OOMed the 16 MB scoped limit at k=40):
+the ``[B, k, k] <-> [k, k, B]`` batch-last relayout happens OUTSIDE the
+kernel as an XLA transpose, so (a) the kernel contains no Mosaic relayout
+transposes (whose stack temporaries dominated the old footprint) and (b) the
+in/out blocks have a native 128-lane minor dimension instead of a k-wide
+minor padded to 128 lanes (3.2x waste at k=40).  ``vmem_limit_bytes`` is
+raised to the measured need with headroom, and :func:`jacobi_vmem_bytes`
+lets callers fall back to XLA eigh when k is too large for the kernel.
+
 Contract matches ``jnp.linalg.eigh`` up to eigenvalue ORDER: returns
 ``(lam [B, k], v [B, k, k])`` with ``a = v @ diag(lam) @ v.T`` per matrix,
 but ``lam`` is NOT sorted.  The LETKF solver only forms ``V f(diag) V^T``
@@ -28,6 +37,34 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
+_SUBLANES = 8
+
+#: Usable VMEM per core with headroom (v5e/v5p have 128 MB; leave room for
+#: Mosaic stack temporaries, which the block estimate cannot see).
+VMEM_BUDGET_BYTES = 96 * 1024 * 1024
+
+
+def _pad8(n: int) -> int:
+    return -(-n // _SUBLANES) * _SUBLANES
+
+
+def jacobi_vmem_bytes(k: int, dtype_bytes: int = 4) -> int:
+    """Estimated VMEM footprint of one kernel instance at ensemble size k.
+
+    Counts double-buffered in/out blocks plus scratch, all batch-last with a
+    128-lane minor dim (sublane dim padded to 8).  Stack temporaries are
+    covered by the budget headroom, not the estimate.
+    """
+    blk = _pad8(k) * k * LANES * dtype_bytes          # [k, k, LANES] block
+    lam = _pad8(k) * LANES * dtype_bytes              # wrong orient, tiny
+    in_out = 2 * blk + 2 * blk + 2 * lam              # double-buffered a, v
+    if k >= 4 and k % 2 == 0:
+        m = k // 2
+        scratch = 4 * (m * _pad8(m) * LANES * dtype_bytes)
+        scratch += 2 * (k * _pad8(m) * LANES * dtype_bytes)
+    else:
+        scratch = 2 * blk
+    return in_out + scratch
 
 
 def _rotation_pairs(k: int) -> np.ndarray:
@@ -38,15 +75,12 @@ def _rotation_pairs(k: int) -> np.ndarray:
 
 def _jacobi_kernel(pq_ref, a_ref, lam_ref, v_ref, a_s, v_s, *, k: int,
                    sweeps: int):
-    """One batch tile: eigendecompose ``a_ref [LANES, k, k]``.
+    """One batch tile: eigendecompose ``a_ref [k, k, LANES]`` (batch-last).
 
-    a_s / v_s: VMEM scratch ``[k, k, LANES]`` batch-last working copies.
+    a_s / v_s: VMEM scratch ``[k, k, LANES]`` working copies.
     pq_ref: SMEM ``[k*(k-1)/2, 2]`` rotation schedule (scalar-prefetched).
     """
-    # Batch-last relayout: every rotation update becomes [*, LANES] slabs.
-    a_s[:] = jnp.transpose(a_ref[:], (1, 2, 0))
-    # 3-D iota comparison: Mosaic cannot reshape an i1 vector to add a minor
-    # dim, so build the broadcast identity directly at [k, k, LANES].
+    a_s[:] = a_ref[:]
     eye3 = (jax.lax.broadcasted_iota(jnp.int32, (k, k, LANES), 0)
             == jax.lax.broadcasted_iota(jnp.int32, (k, k, LANES), 1))
     v_s[:] = eye3.astype(a_s.dtype)
@@ -95,16 +129,16 @@ def _jacobi_kernel(pq_ref, a_ref, lam_ref, v_ref, a_s, v_s, *, k: int,
     a_fin = a_s[:]                               # [k, k, LANES]
     diag3 = (jax.lax.broadcasted_iota(jnp.int32, (k, k, LANES), 0)
              == jax.lax.broadcasted_iota(jnp.int32, (k, k, LANES), 1))
-    lam = jnp.sum(jnp.where(diag3, a_fin, 0.0), axis=1)            # [k,LANES]
-    lam_ref[:] = jnp.transpose(lam, (1, 0))
-    v_ref[:] = jnp.transpose(v_s[:], (2, 0, 1))
+    lam_ref[:] = jnp.sum(jnp.where(diag3, a_fin, 0.0), axis=1)     # [k,LANES]
+    v_ref[:] = v_s[:]
 
 
 def _parallel_jacobi_kernel(a_ref, lam_ref, v_ref, att_s, atb_s, abt_s,
                             abb_s, vt_s, vb_s, *, k: int, sweeps: int):
     """One batch tile, parallel-order (round-robin) cyclic Jacobi.
 
-    Where :func:`_jacobi_kernel` applies the k(k-1)/2 rotations of a sweep
+    Input/output blocks are batch-last ``[k, k, LANES]``.  Where
+    :func:`_jacobi_kernel` applies the k(k-1)/2 rotations of a sweep
     one at a time, this kernel pairs the k rows/columns into m = k/2
     disjoint (top_i, bot_i) couples and applies all m rotations of a round
     simultaneously as full-block elementwise updates — a sweep is k-1
@@ -120,11 +154,11 @@ def _parallel_jacobi_kernel(a_ref, lam_ref, v_ref, att_s, atb_s, abt_s,
     """
     m = k // 2
     dtype = att_s.dtype
-    # batch-last block relayout, one block at a time (stack economy)
-    att_s[:] = jnp.transpose(a_ref[:, :m, :m], (1, 2, 0))
-    atb_s[:] = jnp.transpose(a_ref[:, :m, m:], (1, 2, 0))
-    abt_s[:] = jnp.transpose(a_ref[:, m:, :m], (1, 2, 0))
-    abb_s[:] = jnp.transpose(a_ref[:, m:, m:], (1, 2, 0))
+    # block split, already batch-last — plain static-slice copies
+    att_s[:] = a_ref[:m, :m, :]
+    atb_s[:] = a_ref[:m, m:, :]
+    abt_s[:] = a_ref[m:, :m, :]
+    abb_s[:] = a_ref[m:, m:, :]
     eye3 = (jax.lax.broadcasted_iota(jnp.int32, (k, m, LANES), 0)
             == jax.lax.broadcasted_iota(jnp.int32, (k, m, LANES), 1))
     vt_s[:] = eye3.astype(dtype)                    # columns 0..m-1 of I
@@ -195,9 +229,10 @@ def _parallel_jacobi_kernel(a_ref, lam_ref, v_ref, att_s, atb_s, abt_s,
 
     lam_t = jnp.sum(jnp.where(diag_mask, att_s[:], 0.0), axis=1)  # [m, LANES]
     lam_b = jnp.sum(jnp.where(diag_mask, abb_s[:], 0.0), axis=1)
-    lam_ref[:] = jnp.transpose(jnp.concatenate([lam_t, lam_b], 0), (1, 0))
-    v_ref[:, :, :m] = jnp.transpose(vt_s[:], (2, 0, 1))
-    v_ref[:, :, m:] = jnp.transpose(vb_s[:], (2, 0, 1))
+    lam_ref[:m, :] = lam_t
+    lam_ref[m:, :] = lam_b
+    v_ref[:, :m, :] = vt_s[:]
+    v_ref[:, m:, :] = vb_s[:]
 
 
 @functools.partial(jax.jit, static_argnames=("sweeps", "interpret", "polish"))
@@ -230,22 +265,30 @@ def jacobi_eigh(a, *, sweeps: int = 7, interpret: bool = False,
     b_pad = -(-b // LANES) * LANES
     if b_pad != b:
         pad = jnp.broadcast_to(jnp.eye(k, dtype=a.dtype), (b_pad - b, k, k))
-        a = jnp.concatenate([a, pad], axis=0)
+        a_in = jnp.concatenate([a, pad], axis=0)
+    else:
+        a_in = a
+
+    # Batch-last relayout OUTSIDE the kernel: XLA handles the [B,k,k] ->
+    # [k,k,B] transpose in HBM; the kernel sees native 128-lane blocks and
+    # needs no Mosaic relayouts (which blew the scoped-VMEM stack at k=40).
+    at = jnp.transpose(a_in, (1, 2, 0))              # [k, k, b_pad]
 
     grid = (b_pad // LANES,)
     out_shape = [
-        jax.ShapeDtypeStruct((b_pad, k), a.dtype),
-        jax.ShapeDtypeStruct((b_pad, k, k), a.dtype),
+        jax.ShapeDtypeStruct((k, b_pad), a.dtype),
+        jax.ShapeDtypeStruct((k, k, b_pad), a.dtype),
     ]
+    params = pltpu.CompilerParams(vmem_limit_bytes=VMEM_BUDGET_BYTES)
     if k >= 4 and k % 2 == 0:
         m = k // 2
-        lam, v = pl.pallas_call(
+        lam_t, v_t = pl.pallas_call(
             functools.partial(_parallel_jacobi_kernel, k=k, sweeps=sweeps),
             grid=grid,
-            in_specs=[pl.BlockSpec((LANES, k, k), lambda i: (i, 0, 0))],
+            in_specs=[pl.BlockSpec((k, k, LANES), lambda i: (0, 0, i))],
             out_specs=[
-                pl.BlockSpec((LANES, k), lambda i: (i, 0)),
-                pl.BlockSpec((LANES, k, k), lambda i: (i, 0, 0)),
+                pl.BlockSpec((k, LANES), lambda i: (0, i)),
+                pl.BlockSpec((k, k, LANES), lambda i: (0, 0, i)),
             ],
             scratch_shapes=[
                 pltpu.VMEM((m, m, LANES), a.dtype),
@@ -256,21 +299,22 @@ def jacobi_eigh(a, *, sweeps: int = 7, interpret: bool = False,
                 pltpu.VMEM((k, m, LANES), a.dtype),
             ],
             out_shape=out_shape,
+            compiler_params=params,
             interpret=interpret,
-        )(a)
+        )(at)
     else:
         pq = jnp.asarray(_rotation_pairs(k))
-        lam, v = pl.pallas_call(
+        lam_t, v_t = pl.pallas_call(
             functools.partial(_jacobi_kernel, k=k, sweeps=sweeps),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=grid,
                 in_specs=[
-                    pl.BlockSpec((LANES, k, k), lambda i, *_: (i, 0, 0)),
+                    pl.BlockSpec((k, k, LANES), lambda i, *_: (0, 0, i)),
                 ],
                 out_specs=[
-                    pl.BlockSpec((LANES, k), lambda i, *_: (i, 0)),
-                    pl.BlockSpec((LANES, k, k), lambda i, *_: (i, 0, 0)),
+                    pl.BlockSpec((k, LANES), lambda i, *_: (0, i)),
+                    pl.BlockSpec((k, k, LANES), lambda i, *_: (0, 0, i)),
                 ],
                 scratch_shapes=[
                     pltpu.VMEM((k, k, LANES), a.dtype),
@@ -278,14 +322,15 @@ def jacobi_eigh(a, *, sweeps: int = 7, interpret: bool = False,
                 ],
             ),
             out_shape=out_shape,
+            compiler_params=params,
             interpret=interpret,
-        )(pq, a)
-    lam, v = lam[:b], v[:b]
+        )(pq, at)
+    lam = jnp.transpose(lam_t, (1, 0))[:b]
+    v = jnp.transpose(v_t, (2, 0, 1))[:b]
     if polish:
         # Full-f32 multiplies: TPU matmuls default to bf16 inputs, which
         # would *undo* the sweeps' precision instead of refining it.
         hi = jax.lax.Precision.HIGHEST
-        a = a[:b]
         eye = jnp.eye(k, dtype=a.dtype)
         vtv = jnp.einsum("bki,bkj->bij", v, v, precision=hi,
                          preferred_element_type=a.dtype)

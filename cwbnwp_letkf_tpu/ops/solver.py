@@ -73,6 +73,13 @@ def set_eigh_backend(name: str):
 def _use_jacobi(a) -> bool:
     if _EIGH_BACKEND == "xla" or a.dtype != jnp.float32 or a.ndim != 3:
         return False
+    # VMEM guard: the Jacobi kernel's per-instance footprint grows with k^2;
+    # past the budget Mosaic would OOM scoped VMEM at compile time (the
+    # round-1 failure mode), so fall back to XLA eigh instead of crashing.
+    from .pallas_eigh import VMEM_BUDGET_BYTES, jacobi_vmem_bytes
+
+    if jacobi_vmem_bytes(a.shape[-1]) > VMEM_BUDGET_BYTES:
+        return False
     if _EIGH_BACKEND == "jacobi":
         return True
     # auto: the Pallas kernel wins on TPU; on CPU it only runs interpreted
