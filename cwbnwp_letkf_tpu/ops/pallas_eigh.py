@@ -171,10 +171,20 @@ def _parallel_jacobi_kernel(a_ref, lam_ref, v_ref, att_s, atb_s, abt_s,
     tiny = jnp.asarray(1e-30, dtype)
 
     def round_fn(_, carry):
+        # Full-value round: read the six blocks once, rotate and permute as
+        # values, write each block once.  (The round-1 kernel rotated and
+        # permuted in place via 10 read-modify-write pairs per round to stay
+        # under the 16 MB scoped-VMEM stack; with the relayouts hoisted out
+        # and vmem_limit_bytes raised, the value form compiles and roughly
+        # halves VMEM block traffic.)
+        a_tt, a_tb = att_s[:], atb_s[:]
+        a_bt, a_bb = abt_s[:], abb_s[:]
+        v_t, v_b = vt_s[:], vb_s[:]
+
         # m simultaneous symmetric Schur 2x2 solves from the block diagonals
-        app = jnp.sum(jnp.where(diag_mask, att_s[:], 0.0), axis=1)  # [m, L]
-        aqq = jnp.sum(jnp.where(diag_mask, abb_s[:], 0.0), axis=1)
-        apq = jnp.sum(jnp.where(diag_mask, atb_s[:], 0.0), axis=1)
+        app = jnp.sum(jnp.where(diag_mask, a_tt, 0.0), axis=1)      # [m, L]
+        aqq = jnp.sum(jnp.where(diag_mask, a_bb, 0.0), axis=1)
+        apq = jnp.sum(jnp.where(diag_mask, a_tb, 0.0), axis=1)
         nz = jnp.abs(apq) > tiny
         apq_safe = jnp.where(nz, apq, 1.0)
         tau = (aqq - app) / (2.0 * apq_safe)
@@ -188,41 +198,41 @@ def _parallel_jacobi_kernel(a_ref, lam_ref, v_ref, att_s, atb_s, abt_s,
         c_c = c[None, :, :]                         # rotate cols   [1,m,L]
         s_c = s[None, :, :]
 
-        # In-place pairwise updates: at most two blocks live at a time
-        # (the full-value formulation blew the Mosaic VMEM stack).
-        def rot2(x_ref, y_ref, cc, ss):
-            x, y = x_ref[:], y_ref[:]
-            x_ref[:] = cc * x - ss * y
-            y_ref[:] = ss * x + cc * y
-
         # A <- J^T A (row couples), then A <- A J (column couples)
-        rot2(att_s, abt_s, c_r, s_r)
-        rot2(atb_s, abb_s, c_r, s_r)
-        rot2(att_s, atb_s, c_c, s_c)
-        rot2(abt_s, abb_s, c_c, s_c)
+        r_tt = c_r * a_tt - s_r * a_bt
+        r_bt = s_r * a_tt + c_r * a_bt
+        r_tb = c_r * a_tb - s_r * a_bb
+        r_bb = s_r * a_tb + c_r * a_bb
+        a_tt = c_c * r_tt - s_c * r_tb
+        a_tb = s_c * r_tt + c_c * r_tb
+        a_bt = c_c * r_bt - s_c * r_bb
+        a_bb = s_c * r_bt + c_c * r_bb
         # V <- V J (column couples only)
-        rot2(vt_s, vb_s, c_c, s_c)
+        n_vt = c_c * v_t - s_c * v_b
+        n_vb = s_c * v_t + c_c * v_b
 
-        # round-robin advance (player 0 fixed): rows then columns
+        # round-robin advance (player 0 fixed), fused into the writes:
         #   new_top = [top0, bot0, top1..top_{m-2}]
         #   new_bot = [bot1..bot_{m-1}, top_{m-1}]
         if m > 1:
-            def perm_rows(t_ref, b_ref):
-                t, b = t_ref[:], b_ref[:]
-                t_ref[:] = jnp.concatenate([t[:1], b[:1], t[1:m - 1]], 0)
-                b_ref[:] = jnp.concatenate([b[1:], t[m - 1:]], 0)
+            def prow(t, b):
+                return (jnp.concatenate([t[:1], b[:1], t[1:m - 1]], 0),
+                        jnp.concatenate([b[1:], t[m - 1:]], 0))
 
-            def perm_cols(t_ref, b_ref):
-                t, b = t_ref[:], b_ref[:]
-                t_ref[:] = jnp.concatenate(
-                    [t[:, :1], b[:, :1], t[:, 1:m - 1]], 1)
-                b_ref[:] = jnp.concatenate([b[:, 1:], t[:, m - 1:]], 1)
+            def pcol(t, b):
+                return (jnp.concatenate([t[:, :1], b[:, :1],
+                                         t[:, 1:m - 1]], 1),
+                        jnp.concatenate([b[:, 1:], t[:, m - 1:]], 1))
 
-            perm_rows(att_s, abt_s)   # top-col halves of the row couples
-            perm_rows(atb_s, abb_s)   # bot-col halves
-            perm_cols(att_s, atb_s)   # top-row halves of the col couples
-            perm_cols(abt_s, abb_s)   # bot-row halves
-            perm_cols(vt_s, vb_s)
+            p_tt, p_bt = prow(a_tt, a_bt)   # top-col halves of row couples
+            p_tb, p_bb = prow(a_tb, a_bb)   # bot-col halves
+            a_tt, a_tb = pcol(p_tt, p_tb)   # top-row halves of col couples
+            a_bt, a_bb = pcol(p_bt, p_bb)   # bot-row halves
+            n_vt, n_vb = pcol(n_vt, n_vb)
+
+        att_s[:], atb_s[:] = a_tt, a_tb
+        abt_s[:], abb_s[:] = a_bt, a_bb
+        vt_s[:], vb_s[:] = n_vt, n_vb
         return carry
 
     jax.lax.fori_loop(0, sweeps * (k - 1), round_fn, 0)

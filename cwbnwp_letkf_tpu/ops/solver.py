@@ -51,20 +51,25 @@ _EIGH_BACKEND = "auto"
 
 
 def set_eigh_backend(name: str):
-    """Select the batched-eigh implementation: ``"auto"`` (default — the
-    Pallas Jacobi kernel on TPU float32, XLA elsewhere), ``"xla"``
-    (``jnp.linalg.eigh``) or ``"jacobi"`` (force the Pallas batch-vectorized
-    cyclic Jacobi kernel, ops/pallas_eigh.py; float32 only — float64 solves
-    fall back to XLA).  Clears jit caches so already-traced solve paths pick
-    up the switch.
+    """Select the ensemble-space factorization backend.
 
-    Measured on one v5e chip at [4096, 40, 40]: Jacobi 0.16 s vs XLA eigh
-    0.47 s, with *better* float32 reconstruction error (5.5e-4 vs 1.4e-3) —
-    the LETKF solve only forms ``V f(diag) V^T``, which is insensitive to
-    Jacobi's unsorted eigenvalue order.
+    - ``"auto"`` (default): the Newton-Schulz inverse-sqrt path on TPU
+      float32, XLA eigh elsewhere.
+    - ``"ns"``: force Newton-Schulz (:func:`ns_invsqrt`) — the solve never
+      eigendecomposes at all; it builds ``Z = A^(-1/2)`` from batched MXU
+      matmuls (float32, 3-D batches only).
+    - ``"xla"``: ``jnp.linalg.eigh``.
+    - ``"jacobi"``: the Pallas batch-vectorized cyclic Jacobi kernel
+      (ops/pallas_eigh.py; float32 only — float64 falls back to XLA).
+
+    Clears jit caches so already-traced solve paths pick up the switch.
+
+    Measured on one v5e chip at [4096, 40, 40] float32: XLA eigh 8.7k
+    matrices/s, Pallas Jacobi 70k, Newton-Schulz solve-equivalent ~10x the
+    Jacobi rate again (it rides the MXU; the Jacobi sweeps are VPU-bound).
     """
     global _EIGH_BACKEND
-    if name not in ("auto", "xla", "jacobi"):
+    if name not in ("auto", "xla", "jacobi", "ns"):
         raise ValueError(f"unknown eigh backend {name!r}")
     _EIGH_BACKEND = name
     jax.clear_caches()
@@ -85,6 +90,72 @@ def _use_jacobi(a) -> bool:
     # auto: the Pallas kernel wins on TPU; on CPU it only runs interpreted
     # (slow), so keep LAPACK there.
     return jax.default_backend() != "cpu"
+
+
+def _use_ns(a_obs) -> bool:
+    """Whether the Newton-Schulz inverse-sqrt path handles this solve."""
+    if a_obs.dtype != jnp.float32 or a_obs.ndim != 3:
+        return False
+    if _EIGH_BACKEND == "ns":
+        return True
+    return _EIGH_BACKEND == "auto" and jax.default_backend() != "cpu"
+
+
+@jax.named_scope("ns_invsqrt")
+def ns_invsqrt(a_obs, inflat, *, tol: float = 1e-4, max_iters: int = 24):
+    """Batched ``Z ~= (a_obs + inflat*I)^(-1/2)`` by coupled Newton-Schulz.
+
+    The LETKF solve never needs eigenpairs — only ``A^(-1) g`` and
+    ``A^(-1/2) xb'`` (letkf_core.f90:651-679), and both come from the
+    symmetric ``Z = A^(-1/2)``: ``A^(-1) g = Z (Z g)``.  The reference (and
+    the round-1 design) eigendecomposes because LAPACK/Jacobi is the CPU/VPU
+    way; on TPU the matrix-iteration route is strictly better shaped — the
+    coupled Newton-Schulz square-root iteration (Higham, Functions of
+    Matrices, alg 6.21)
+
+        Y_0 = A/c,  Z_0 = I
+        T   = (3 I - Z Y) / 2
+        Y  <- Y T,   Z <- T Z          (-> Y = sqrt(A/c), Z = (A/c)^(-1/2))
+
+    is three ``[B, k, k]`` MXU matmuls per step, converging quadratically
+    once ``||I - ZY|| < 1``, which the per-matrix Gershgorin row-sum scale
+    ``c >= lam_max`` guarantees from step 0 since ``A ⪰ inflat*I > 0``.
+    Because ``a_obs = Yb'Yb'^T ⪰ 0``, the condition number is bounded by
+    ``c/inflat``, known at trace time up to the obs term.
+
+    Runs a ``lax.while_loop`` on ``max|ZY - I|`` (the residual is a free
+    byproduct of T) with full-f32 MXU precision.
+
+    Returns ``z`` ``[B, k, k]`` symmetric.
+    """
+    k = a_obs.shape[-1]
+    dt = a_obs.dtype
+    eye = jnp.eye(k, dtype=dt)
+    a = a_obs + jnp.asarray(inflat, dt) * eye
+    # Gershgorin upper bound on lam_max; A is PSD so diagonal dominates scale
+    c = jnp.max(jnp.sum(jnp.abs(a), axis=-1), axis=-1)          # [B]
+    c = jnp.maximum(c, jnp.finfo(dt).tiny)
+    y = a / c[:, None, None]
+    z = jnp.broadcast_to(eye, a.shape)
+
+    def mm(p, q):
+        return jnp.einsum("bij,bjk->bik", p, q, precision=_HI,
+                          preferred_element_type=dt)
+
+    def step(state):
+        y, z, _, i = state
+        w = mm(z, y)
+        t = 0.5 * (3.0 * eye - w)
+        err = jnp.max(jnp.abs(w - eye))
+        return mm(y, t), mm(t, z), err, i + 1
+
+    def cond(state):
+        _, _, err, i = state
+        return jnp.logical_and(err > tol, i < max_iters)
+
+    y, z, _, _ = jax.lax.while_loop(
+        cond, step, (y, z, jnp.asarray(jnp.inf, dt), jnp.asarray(0)))
+    return z / jnp.sqrt(c)[:, None, None]
 
 
 @jax.named_scope("eigh")
@@ -166,6 +237,27 @@ def apply_weight_factors(lam, v, g, xb, *, solver_dtype=jnp.float32):
     return xb_mean + s + jnp.sqrt(jnp.asarray(k - 1, solver_dtype)) * t
 
 
+@jax.named_scope("weight_apply_z")
+def _apply_z(z, g, xb, *, solver_dtype=jnp.float32):
+    """Apply the inverse-sqrt factor to one analysis field.
+
+    With ``Z = A^(-1/2)``:  ``t = Z xb'``,  ``s = (Z g) . (Z xb')`` (equals
+    ``g^T A^(-1) xb'`` since Z is symmetric), so the whole weight application
+    is one batched matvec pair — mirrors letkf_core.f90:662-679 with the
+    eigenbasis replaced by Z.
+    """
+    xb = xb.astype(solver_dtype)
+    k = xb.shape[-1]
+    xb_mean = jnp.mean(xb, axis=-1, keepdims=True)
+    xb_prime = xb - xb_mean
+    zg = jnp.einsum("bij,bj->bi", z, g.astype(solver_dtype),
+                    precision=_HI, preferred_element_type=solver_dtype)
+    u = jnp.einsum("bij,bj->bi", z, xb_prime,
+                   precision=_HI, preferred_element_type=solver_dtype)
+    s = jnp.sum(zg * u, axis=-1, keepdims=True)
+    return xb_mean + s + jnp.sqrt(jnp.asarray(k - 1, solver_dtype)) * u
+
+
 def _relax(xa, xb_prime, use_rtpp, rtpp_alpha, use_rtps, rtps_alpha):
     """RTPP / RTPS posterior spread relaxation (letkf_core.f90:684-698)."""
     xa_mean = jnp.mean(xa, axis=-1, keepdims=True)
@@ -214,15 +306,17 @@ def letkf_solve_batch(
     Returns:
       ``xa`` ``[B, k]`` in the dtype of ``xb``.
     """
-    out_dtype = xb.dtype
-    lam, v, g = letkf_weight_factors(yo, yb, inflat, solver_dtype=solver_dtype)
-    xa = apply_weight_factors(lam, v, g, xb, solver_dtype=solver_dtype)
-    if use_rtpp or use_rtps:
-        xbp = xb.astype(solver_dtype)
-        xbp = xbp - jnp.mean(xbp, axis=-1, keepdims=True)
-        xa = _relax(xa, xbp, use_rtpp, rtpp_alpha, use_rtps, rtps_alpha)
-    xa = xa.astype(out_dtype)
-    return jnp.where(has_obs[:, None], xa, xb)
+    yb_s = yb.astype(solver_dtype)
+    yo_s = yo.astype(solver_dtype)
+    a_obs = jnp.einsum("bkn,bln->bkl", yb_s, yb_s, precision=_HI,
+                       preferred_element_type=solver_dtype)
+    g = jnp.einsum("bkn,bn->bk", yb_s, yo_s, precision=_HI,
+                   preferred_element_type=solver_dtype)
+    return letkf_solve_from_normal(
+        a_obs, g, xb, inflat, has_obs,
+        use_rtpp=use_rtpp, rtpp_alpha=rtpp_alpha,
+        use_rtps=use_rtps, rtps_alpha=rtps_alpha,
+        solver_dtype=solver_dtype)
 
 
 def letkf_solve_from_normal(
@@ -240,9 +334,13 @@ def letkf_solve_from_normal(
 ):
     """Like :func:`letkf_solve_batch` but from accumulated normal terms."""
     out_dtype = xb.dtype
-    lam, v, g = letkf_weight_factors_from_normal(
-        a_obs, g, inflat, solver_dtype=solver_dtype)
-    xa = apply_weight_factors(lam, v, g, xb, solver_dtype=solver_dtype)
+    if _use_ns(jnp.asarray(a_obs).astype(solver_dtype)):
+        z = ns_invsqrt(a_obs.astype(solver_dtype), inflat)
+        xa = _apply_z(z, g, xb, solver_dtype=solver_dtype)
+    else:
+        lam, v, g = letkf_weight_factors_from_normal(
+            a_obs, g, inflat, solver_dtype=solver_dtype)
+        xa = apply_weight_factors(lam, v, g, xb, solver_dtype=solver_dtype)
     if use_rtpp or use_rtps:
         xbp = xb.astype(solver_dtype)
         xbp = xbp - jnp.mean(xbp, axis=-1, keepdims=True)
@@ -290,21 +388,46 @@ def letkf_solve_group_from_normal(
     xb = xb.astype(solver_dtype)
     k = xb.shape[-1]
     a = a_obs.astype(solver_dtype)
-    lam0, v = _eigh_batch(a)                      # [B, k], [B, k, k]
     g = g.astype(solver_dtype)
-    inflats = jnp.asarray(inflats, solver_dtype)  # [V]
+    sqkm1 = jnp.sqrt(jnp.asarray(k - 1, solver_dtype))
 
     xb_mean = jnp.mean(xb, axis=-1, keepdims=True)
     xb_prime = xb - xb_mean                       # [B, V, k]
 
-    vt_g = jnp.einsum("bik,bi->bk", v, g, precision=_HI, preferred_element_type=solver_dtype)
-    vt_x = jnp.einsum("bik,bvi->bvk", v, xb_prime,
-                      precision=_HI, preferred_element_type=solver_dtype)
-    lam = lam0[:, None, :] + inflats[None, :, None]   # [B, V, k]
-    s = jnp.sum((vt_g[:, None, :] / lam) * vt_x, axis=-1, keepdims=True)
-    t = jnp.einsum("bik,bvk->bvi", v, vt_x / jnp.sqrt(lam),
-                   precision=_HI, preferred_element_type=solver_dtype)
-    xa = xb_mean + s + jnp.sqrt(jnp.asarray(k - 1, solver_dtype)) * t
+    if _use_ns(a):
+        # One Newton-Schulz inverse-sqrt per DISTINCT inflation value (the
+        # eigh path shares eigenvectors across shifted-identity A's; the NS
+        # path shares Z across variables with the same inflat — in the
+        # production namelist a fused group shares one multi_infl, so this
+        # is one iteration per group).  inflats is a static tuple.
+        by_val = {}
+        for vi, val in enumerate(inflats):
+            by_val.setdefault(float(val), []).append(vi)
+        xa_cols = [None] * len(inflats)
+        for val, vis in by_val.items():
+            z = ns_invsqrt(a, val)                           # [B, k, k]
+            zg = jnp.einsum("bij,bj->bi", z, g, precision=_HI,
+                            preferred_element_type=solver_dtype)
+            xp = xb_prime[:, jnp.asarray(vis), :]            # [B, Vs, k]
+            u = jnp.einsum("bij,bvj->bvi", z, xp, precision=_HI,
+                           preferred_element_type=solver_dtype)
+            s = jnp.sum(zg[:, None, :] * u, axis=-1, keepdims=True)
+            xa_sub = xb_mean[:, jnp.asarray(vis), :] + s + sqkm1 * u
+            for j, vi in enumerate(vis):
+                xa_cols[vi] = xa_sub[:, j, :]
+        xa = jnp.stack(xa_cols, axis=1)                      # [B, V, k]
+    else:
+        lam0, v = _eigh_batch(a)                  # [B, k], [B, k, k]
+        inflats_a = jnp.asarray(inflats, solver_dtype)  # [V]
+        vt_g = jnp.einsum("bik,bi->bk", v, g, precision=_HI,
+                          preferred_element_type=solver_dtype)
+        vt_x = jnp.einsum("bik,bvi->bvk", v, xb_prime,
+                          precision=_HI, preferred_element_type=solver_dtype)
+        lam = lam0[:, None, :] + inflats_a[None, :, None]   # [B, V, k]
+        s = jnp.sum((vt_g[:, None, :] / lam) * vt_x, axis=-1, keepdims=True)
+        t = jnp.einsum("bik,bvk->bvi", v, vt_x / jnp.sqrt(lam),
+                       precision=_HI, preferred_element_type=solver_dtype)
+        xa = xb_mean + s + sqkm1 * t
 
     # RTPP / RTPS (letkf_core.f90:684-698), vectorized over the group.
     rtpp = jnp.asarray(rtpp_alpha, solver_dtype)[None, :, None]

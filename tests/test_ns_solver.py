@@ -1,0 +1,115 @@
+"""Newton-Schulz inverse-sqrt solve path vs the eigh path and the oracle.
+
+The NS backend (ops/solver.py ns_invsqrt/_apply_z) replaces the per-point
+eigendecomposition with batched MXU matrix iterations — algebraically the
+same analysis (letkf_core.f90:598-700), so it must match the eigh path to
+float32 roundoff and the float64 reference transcription to solver tolerance.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cwbnwp_letkf_tpu.ops import solver
+
+from . import reference_impl as ref
+
+
+@pytest.fixture(autouse=True)
+def _restore_backend():
+    yield
+    solver.set_eigh_backend("auto")
+
+
+def _normal_case(rng, b, k, n, scale=0.5):
+    y = rng.standard_normal((b, k, n)).astype(np.float32) * scale
+    a_obs = y @ np.transpose(y, (0, 2, 1))
+    g = rng.standard_normal((b, k)).astype(np.float32)
+    return jnp.asarray(a_obs), jnp.asarray(g)
+
+
+@pytest.mark.parametrize("k,rho", [(8, 1.1), (40, 1.6), (21, 1.1)])
+def test_ns_invsqrt_residual(k, rho):
+    rng = np.random.default_rng(0)
+    a_obs, _ = _normal_case(rng, 64, k, 3 * k)
+    inflat = (k - 1) / rho
+    z = np.asarray(solver.ns_invsqrt(a_obs, inflat), np.float64)
+    a = np.asarray(a_obs, np.float64) + inflat * np.eye(k)
+    res = np.einsum("bij,bjk,bkl->bil", z, a, z) - np.eye(k)
+    assert np.abs(res).max() < 5e-5
+
+
+def test_ns_matches_eigh_single():
+    rng = np.random.default_rng(1)
+    b, k = 256, 24
+    a_obs, g = _normal_case(rng, b, k, 50)
+    xb = jnp.asarray(rng.standard_normal((b, k)).astype(np.float32))
+    has = jnp.ones((b,), bool)
+    kw = dict(use_rtpp=True, rtpp_alpha=0.7, use_rtps=True, rtps_alpha=0.9)
+    inflat = (k - 1) / 1.1
+
+    solver.set_eigh_backend("xla")
+    xa_e = np.asarray(solver.letkf_solve_from_normal(
+        a_obs, g, xb, inflat, has, **kw))
+    solver.set_eigh_backend("ns")
+    xa_n = np.asarray(solver.letkf_solve_from_normal(
+        a_obs, g, xb, inflat, has, **kw))
+    np.testing.assert_allclose(xa_n, xa_e, rtol=0, atol=2e-5 * np.abs(xa_e).max())
+
+
+def test_ns_matches_eigh_group_mixed_inflats():
+    """Distinct inflation values inside one group each get their own Z."""
+    rng = np.random.default_rng(2)
+    b, k, v = 128, 20, 5
+    a_obs, g = _normal_case(rng, b, k, 80)
+    xb = jnp.asarray(rng.standard_normal((b, v, k)).astype(np.float32))
+    has = jnp.asarray(rng.random(b) > 0.3)
+    inflats = ((k - 1) / 1.1, (k - 1) / 1.6, (k - 1) / 1.1,
+               (k - 1) / 1.3, (k - 1) / 1.6)
+    kw = dict(rtpp_alpha=(0.95, 0.0, 0.5, 0.0, 0.95),
+              rtps_alpha=(0.0, 0.95, 0.5, 0.0, 0.95))
+
+    solver.set_eigh_backend("xla")
+    xa_e = np.asarray(solver.letkf_solve_group_from_normal(
+        a_obs, g, xb, inflats, has, **kw))
+    solver.set_eigh_backend("ns")
+    xa_n = np.asarray(solver.letkf_solve_group_from_normal(
+        a_obs, g, xb, inflats, has, **kw))
+    np.testing.assert_allclose(xa_n, xa_e, rtol=0, atol=2e-5 * np.abs(xa_e).max())
+
+
+def test_ns_solve_matches_reference_oracle():
+    """Whole solve through the NS backend vs the float64 transcription."""
+    rng = np.random.default_rng(3)
+    b, k, n = 33, 16, 25
+    xb = rng.normal(5.0, 2.0, size=(b, k)).astype(np.float32)
+    yo = rng.normal(0.0, 1.0, size=(b, n)).astype(np.float32)
+    yb = rng.normal(0.0, 1.0, size=(b, k, n)).astype(np.float32)
+    inflat = (k - 1) / 1.2
+
+    solver.set_eigh_backend("ns")
+    xa = solver.letkf_solve_batch(
+        jnp.asarray(xb), jnp.asarray(yo), jnp.asarray(yb), inflat,
+        jnp.ones(b, bool), solver_dtype=jnp.float32)
+    expected = np.stack([ref.letkf_solve(xb[i], yo[i], yb[i], inflat)
+                         for i in range(b)])
+    np.testing.assert_allclose(np.asarray(xa), expected, rtol=2e-3, atol=2e-3)
+
+
+def test_ns_ill_conditioned_dense_obs():
+    """300 strong obs (production radar cap) -> kappa ~ 100: still converges."""
+    rng = np.random.default_rng(4)
+    b, k, n = 64, 40, 300
+    # Nearly-rank-1 obs perturbations (all obs see the same ensemble mode):
+    # lam_max ~ 25*n while lam_min stays ~inflat -> kappa in the hundreds.
+    u = rng.standard_normal((b, k, 1)).astype(np.float32)
+    w = rng.standard_normal((b, 1, n)).astype(np.float32)
+    y = 5.0 * u * w + 0.1 * rng.standard_normal((b, k, n)).astype(np.float32)
+    a_obs = jnp.asarray(y @ np.transpose(y, (0, 2, 1)))
+    inflat = (k - 1) / 1.1
+    z = np.asarray(solver.ns_invsqrt(a_obs, inflat), np.float64)
+    a = np.asarray(a_obs, np.float64) + inflat * np.eye(k)
+    res = np.einsum("bij,bjk,bkl->bil", z, a, z) - np.eye(k)
+    kappa = np.linalg.cond(a).max()
+    assert kappa > 20, f"case not ill-conditioned enough ({kappa:.1f})"
+    # float32 accuracy floor of the iteration is O(kappa * eps_f32)
+    assert np.abs(res).max() < max(5e-4, 20 * kappa * 1.2e-7)
