@@ -138,6 +138,65 @@ def _cap_threshold(r2, n_max: int, r2_cap: float, *, splits: int = 8,
     return jnp.where(over, lo, jnp.asarray(r2_cap, dtype))
 
 
+def terms_from_r2(
+    r2,
+    fused,
+    nvalid,
+    *,
+    n_max: int,
+    weight_function: int,
+    r2_cap: float = GC1999_SQ,
+    solver_dtype=jnp.float32,
+    row_mask=None,
+):
+    """Capped, localization-weighted normal terms from a distance matrix.
+
+    The shared core of the dense and bucketed paths: apply the per-row cap
+    threshold (multisection), the distance weight (letkf_core.f90:443-450)
+    and the single ``[C, R] @ [R, k*(k+1)]`` accumulation matmul.
+
+    Args:
+      r2:     ``[C, R]`` squared normalized distances.
+      fused:  ``[R, k*k + k]`` concatenated (bgbg | ombg) tables.
+      nvalid: ``[R]`` accepted-obs count per record.
+      row_mask: optional ``[R]`` bool — False rows can never contribute
+        (the bucketed path uses it to kill padded/non-candidate blocks).
+
+    Returns ``(a_obs [C, k, k], g [C, k], count [C])``.
+    """
+    c = r2.shape[0]
+    kk_k = fused.shape[-1]
+    # kk + k = k*(k+1) => k = largest root
+    k = int((-1 + (1 + 4 * kk_k) ** 0.5) / 2)
+    assert k * (k + 1) == kk_k, fused.shape
+
+    if row_mask is not None:
+        r2 = jnp.where(row_mask[None, :], r2, jnp.asarray(jnp.inf, r2.dtype))
+
+    if r2.shape[1] > n_max:
+        t = _cap_threshold(r2, n_max, r2_cap)[:, None]
+    else:
+        t = jnp.asarray(r2_cap, r2.dtype)
+    sel = r2 <= t                                                  # [C, R]
+
+    if weight_function == WEIGHT_GC1999:
+        w2 = gaspari_cohn_1999(jnp.sqrt(jnp.where(sel, r2, 0.0)))
+    else:
+        w2 = jnp.exp(-0.5 * jnp.where(sel, r2, 0.0))
+        # (exp(0.25*r2))^-2, letkf_core.f90:444
+    gm = jnp.where(sel, w2, 0.0).astype(solver_dtype)              # [C, R]
+
+    out = jnp.dot(gm, fused.astype(solver_dtype),
+                  precision=_HI, preferred_element_type=solver_dtype)
+    a_obs = out[:, :k * k].reshape(c, k, k)
+    g = out[:, k * k:]
+    count = jnp.dot(sel.astype(jnp.float32),
+                    nvalid.astype(jnp.float32),
+                    precision=_HI,
+                    preferred_element_type=jnp.float32).astype(jnp.int32)
+    return a_obs, g, count
+
+
 @jax.named_scope("dense_localize")
 def dense_platform_terms(
     q_norm,
@@ -167,9 +226,7 @@ def dense_platform_terms(
     """
     q = jnp.asarray(q_norm)
     obs = jnp.asarray(obs_norm, q.dtype)
-    c, r = q.shape[0], obs.shape[0]
-    kk = tables.bgbg.shape[-1]
-    k = tables.ombg.shape[-1]
+    r = obs.shape[0]
 
     # centered squared distances via one matmul (see ops/neighbors.py)
     center = (jnp.mean(obs, axis=0, keepdims=True) if r
@@ -181,26 +238,9 @@ def dense_platform_terms(
         jnp.sum(qc * qc, axis=-1, keepdims=True)
         + jnp.sum(oc * oc, axis=-1)[None, :] - 2.0 * dots, 0.0)   # [C, R]
 
-    if r > n_max:
-        t = _cap_threshold(r2, n_max, r2_cap)[:, None]
-    else:
-        t = jnp.asarray(r2_cap, r2.dtype)
-    sel = r2 <= t                                                  # [C, R]
-
-    if weight_function == WEIGHT_GC1999:
-        w2 = gaspari_cohn_1999(jnp.sqrt(r2))
-    else:
-        w2 = jnp.exp(-0.5 * r2)          # (exp(0.25*r2))^-2, letkf_core.f90:444
-    gm = jnp.where(sel, w2, 0.0).astype(solver_dtype)              # [C, R]
-
     fused = jnp.concatenate(
         [tables.bgbg, tables.ombg], axis=-1)                       # [R, kk+k]
-    out = jnp.dot(gm, fused.astype(solver_dtype),
-                  precision=_HI, preferred_element_type=solver_dtype)
-    a_obs = out[:, :kk].reshape(c, k, k)
-    g = out[:, kk:]
-    count = jnp.dot(sel.astype(jnp.float32),
-                    tables.nvalid.astype(jnp.float32),
-                    precision=_HI,
-                    preferred_element_type=jnp.float32).astype(jnp.int32)
-    return a_obs, g, count
+    return terms_from_r2(
+        r2, fused, tables.nvalid, n_max=n_max,
+        weight_function=weight_function, r2_cap=r2_cap,
+        solver_dtype=solver_dtype)

@@ -20,19 +20,32 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..obs.base import PlatformObs, PlatformStatic
+from .bucketed import (bucket_platform, bucketed_platform_terms,
+                       default_max_blocks, hilbert3, required_max_blocks)
 from .dense import dense_platform_terms, platform_dense_tables
 from .neighbors import normalize_coords, radius_neighbors
 from .solver import letkf_solve_from_normal, letkf_solve_group_from_normal
 from .whiten import ObsStats, accumulate_platform_terms, platform_obs_stats
 
 #: normal-term accumulation backends:
-#: "dense"  — one MXU matmul against per-record outer-product tables
-#:            (ops/dense.py; the fast path on TPU);
-#: "gather" — top-k neighbor search + obs gather (ops/neighbors.py +
-#:            ops/whiten.py; mirrors the reference's kd-tree structure).
-#: Identical results whenever the obs cap is not hit; at the cap both keep
-#: the nearest subset, differing only at distance ties (see ops/dense.py).
-ACCUMULATE_METHODS = ("dense", "gather")
+#: "dense"    — one MXU matmul against per-record outer-product tables
+#:              (ops/dense.py; the fast path on TPU at small-to-mid R);
+#: "bucketed" — Hilbert-blocked dense with per-chunk spatial block culling
+#:              (ops/bucketed.py; the scalable path for radar-volume R);
+#: "gather"   — top-k neighbor search + obs gather (ops/neighbors.py +
+#:              ops/whiten.py; mirrors the reference's kd-tree structure);
+#: "auto"     — per platform: bucketed when R >= BUCKET_MIN_RECORDS, else
+#:              dense.
+#: Identical results whenever the obs cap is not hit (and, for bucketed, no
+#: candidate-block overflow); at the cap all keep the nearest subset,
+#: differing only at distance ties (see ops/dense.py).
+ACCUMULATE_METHODS = ("dense", "gather", "bucketed", "auto")
+
+#: record count above which "auto" switches a platform from the all-records
+#: dense matmul to the block-culled path (measured crossover on v5e; the
+#: dense path's per-chunk cost grows linearly in R, bucketed's with local
+#: obs density only).
+BUCKET_MIN_RECORDS = 8192
 
 
 class DevicePlatform(NamedTuple):
@@ -67,6 +80,109 @@ def prepare_platform(
     return DevicePlatform(static=static, xyz=jnp.asarray(obs.xyz), stats=stats)
 
 
+def _resolve_kind(method: str, dp: "DevicePlatform") -> str:
+    if method == "auto":
+        return ("bucketed" if dp.xyz.shape[0] >= BUCKET_MIN_RECORDS
+                else "dense")
+    return method
+
+
+def _platform_accumulators(active, kinds, iv, max_blocks, solver_dtype,
+                           q_chunks=None):
+    """Resolve each active platform to its accumulation backend + payload.
+
+    ``q_chunks``: the ``[n_chunks, chunk, 3]`` Hilbert-ordered points the
+    update will run over.  When concrete (not under an enclosing jit trace),
+    the bucketed block budget comes from the exact prepass
+    (ops/bucketed.required_max_blocks) — overflow-free by construction;
+    under a trace it falls back to the heuristic (watch the diagnostics).
+    """
+    concrete = q_chunks is not None and not isinstance(q_chunks,
+                                                       jax.core.Tracer)
+    accs = []
+    for (dp, on), kind in zip(active, kinds):
+        st = dp.static
+        if kind == "gather":
+            accs.append((dp, on, "gather", None))
+            continue
+        tab = platform_dense_tables(dp.stats, st.assim_mask(iv),
+                                    solver_dtype=solver_dtype)
+        if kind == "bucketed":
+            bp = bucket_platform(on, tab)
+            if max_blocks:
+                mb = max_blocks
+            elif concrete:
+                flat = q_chunks.reshape(-1, 3)
+                qn = normalize_coords(flat, st.hclr[iv], st.vclr[iv])
+                needed = int(required_max_blocks(
+                    qn.reshape(q_chunks.shape), bp.centers, bp.radii))
+                # quantize up to multiples of 16 to bound recompiles
+                mb = min(bp.n_blocks, max(16, -(-needed // 16) * 16))
+            else:
+                mb = default_max_blocks(bp.n_blocks)
+            accs.append((dp, on, "bucketed", (bp, mb)))
+        else:
+            accs.append((dp, on, "dense", tab))
+    return accs
+
+
+def _accumulate_chunk(qc, accs, iv, weight_function, solver_dtype, chunk, k):
+    """Sum all platforms' normal terms for one chunk of points."""
+    a_obs = jnp.zeros((qc.shape[0], k, k), solver_dtype)
+    g = jnp.zeros((qc.shape[0], k), solver_dtype)
+    cnt = jnp.zeros((qc.shape[0],), jnp.int32)
+    ovf = jnp.zeros((), jnp.int32)
+    for dp, on, kind, payload in accs:
+        st = dp.static
+        qn = normalize_coords(qc, st.hclr[iv], st.vclr[iv])
+        if kind == "bucketed":
+            bp, mb = payload
+            a_p, g_p, c_p, o_p = bucketed_platform_terms(
+                qn, bp, n_max=st.max_lz_pts,
+                weight_function=weight_function, max_blocks=mb,
+                solver_dtype=solver_dtype)
+            ovf = ovf + o_p
+        elif kind == "dense":
+            a_p, g_p, c_p = dense_platform_terms(
+                qn, on, payload, n_max=st.max_lz_pts,
+                weight_function=weight_function,
+                solver_dtype=solver_dtype)
+        else:
+            nb = radius_neighbors(qn, on, n_max=st.max_lz_pts, chunk=chunk)
+            a_p, g_p, c_p = accumulate_platform_terms(
+                nb, dp.stats, st.assim_mask(iv), weight_function,
+                solver_dtype=solver_dtype)
+        a_obs = a_obs + a_p
+        g = g + g_p
+        cnt = cnt + c_p
+    return a_obs, g, cnt, ovf
+
+
+def _maybe_morton_perm(q, point_order, active, kinds, iv):
+    """Hilbert-order the analysis points so chunks are spatially compact.
+
+    Block culling only pays off when a chunk's points are close together
+    *in localization distance*; raw WRF flattening gives long thin stripes.
+    Keys are computed in the normalized coordinates of the largest bucketed
+    platform (the one whose culling matters most).  Returns (perm, inv) or
+    (None, None) when ordering is off.
+    """
+    bucketed = [dp for (dp, _), kind in zip(active, kinds)
+                if kind == "bucketed"]
+    use = (point_order == "morton"
+           or (point_order == "auto" and bool(bucketed)))
+    if not use:
+        return None, None
+    if bucketed:
+        dp = max(bucketed, key=lambda d: d.xyz.shape[0])
+        st = dp.static
+        keys = hilbert3(normalize_coords(q, st.hclr[iv], st.vclr[iv]))
+    else:
+        keys = hilbert3(q)
+    perm = jnp.argsort(keys)
+    return perm, jnp.argsort(perm)
+
+
 def update_points(
     xb,
     points_xyz,
@@ -81,7 +197,10 @@ def update_points(
     rtps_alpha: float = 0.85,
     solver_dtype=jnp.float32,
     chunk: int = 4096,
-    method: str = "dense",
+    method: str = "auto",
+    max_blocks: int | None = None,
+    point_order: str = "auto",
+    return_diagnostics: bool = False,
 ):
     """LETKF-update analysis variable ``ivar`` at ``B`` points.
 
@@ -95,6 +214,12 @@ def update_points(
       inflat:     ``(k-1)/multi_infl(ivar)`` (letkf_core.f90:68).
       chunk:      points per device batch (bounds peak memory).
       method:     normal-term accumulation backend (ACCUMULATE_METHODS).
+      max_blocks: bucketed path's candidate-block budget (None = heuristic).
+      point_order: "morton" / "linear" / "auto" (morton iff any platform is
+                  bucketed) — chunk spatial compactness for block culling.
+      return_diagnostics: also return ``{"bucket_overflow": int32}`` —
+                  candidate blocks dropped by the ``max_blocks`` budget
+                  (0 == bucketed result exactly matches dense).
 
     Returns ``xa`` ``[B, k]``; points with no accepted local obs keep their
     background (letkf_core.f90:220-234).
@@ -116,56 +241,50 @@ def update_points(
                 dp.xyz, dp.static.hclr[ivar], dp.static.vclr[ivar])
             active.append((dp, on))
     if not active:
-        return xb  # build_tree fails for every platform -> variable skipped
-                   # (letkf_core.f90:63-66)
+        return (xb, {"bucket_overflow": jnp.zeros((), jnp.int32)}) \
+            if return_diagnostics else xb
+        # build_tree fails for every platform -> variable skipped
+        # (letkf_core.f90:63-66)
 
-    # per-(platform, variable) tables, chunk-independent (ops/dense.py)
-    tables = [
-        platform_dense_tables(dp.stats, dp.static.assim_mask(ivar),
-                              solver_dtype=solver_dtype)
-        if method == "dense" else None
-        for dp, _ in active
-    ]
+    kinds = [_resolve_kind(method, dp) for dp, _ in active]
+    perm, inv = _maybe_morton_perm(q, point_order, active, kinds, ivar)
+    if perm is not None:
+        q = q[perm]
+        xb = xb[perm]
 
     chunk = min(chunk, max(b, 1))
     n_chunks = -(-b // chunk)
     b_pad = n_chunks * chunk
-    q_p = jnp.zeros((b_pad, 3), q.dtype).at[:b].set(q)
+    # pad with the last real point (not zeros): padded points must stay
+    # spatially inside the chunk for the block-cull prepass/dmin
+    q_p = jnp.broadcast_to(q[-1:], (b_pad, 3)).at[:b].set(q)
     xb_p = jnp.zeros((b_pad, k), xb.dtype).at[:b].set(xb)
+
+    accs = _platform_accumulators(
+        active, kinds, ivar, max_blocks, solver_dtype,
+        q_chunks=q_p.reshape(n_chunks, chunk, 3))
 
     def body(args):
         qc, xbc = args
-        a_obs = jnp.zeros((chunk, k, k), solver_dtype)
-        g = jnp.zeros((chunk, k), solver_dtype)
-        cnt = jnp.zeros((chunk,), jnp.int32)
-        for (dp, on), tab in zip(active, tables):
-            st = dp.static
-            qn = normalize_coords(qc, st.hclr[ivar], st.vclr[ivar])
-            if method == "dense":
-                a_p, g_p, c_p = dense_platform_terms(
-                    qn, on, tab, n_max=st.max_lz_pts,
-                    weight_function=weight_function,
-                    solver_dtype=solver_dtype)
-            else:
-                nb = radius_neighbors(qn, on, n_max=st.max_lz_pts,
-                                      chunk=chunk)
-                a_p, g_p, c_p = accumulate_platform_terms(
-                    nb, dp.stats, st.assim_mask(ivar), weight_function,
-                    solver_dtype=solver_dtype)
-            a_obs = a_obs + a_p
-            g = g + g_p
-            cnt = cnt + c_p
-        return letkf_solve_from_normal(
+        a_obs, g, cnt, ovf = _accumulate_chunk(
+            qc, accs, ivar, weight_function, solver_dtype, chunk, k)
+        xa = letkf_solve_from_normal(
             a_obs, g, xbc, inflat, cnt > 0,
             use_rtpp=use_rtpp, rtpp_alpha=rtpp_alpha,
             use_rtps=use_rtps, rtps_alpha=rtps_alpha,
             solver_dtype=solver_dtype)
+        return xa, ovf
 
-    xa = jax.lax.map(
+    xa, ovf = jax.lax.map(
         body,
         (q_p.reshape(n_chunks, chunk, 3), xb_p.reshape(n_chunks, chunk, k)),
     )
-    return xa.reshape(b_pad, k)[:b]
+    xa = xa.reshape(b_pad, k)[:b]
+    if perm is not None:
+        xa = xa[inv]
+    if return_diagnostics:
+        return xa, {"bucket_overflow": jnp.sum(ovf)}
+    return xa
 
 
 def update_points_group(
@@ -180,7 +299,10 @@ def update_points_group(
     rtps_alpha: Sequence[float],
     solver_dtype=jnp.float32,
     chunk: int = 4096,
-    method: str = "dense",
+    method: str = "auto",
+    max_blocks: int | None = None,
+    point_order: str = "auto",
+    return_diagnostics: bool = False,
 ):
     """Fused LETKF update of a *group* of analysis variables at ``B`` points.
 
@@ -226,14 +348,14 @@ def update_points_group(
                 dp.xyz, dp.static.hclr[iv0], dp.static.vclr[iv0])
             active.append((dp, on))
     if not active:
-        return xb
+        return (xb, {"bucket_overflow": jnp.zeros((), jnp.int32)}) \
+            if return_diagnostics else xb
 
-    tables = [
-        platform_dense_tables(dp.stats, dp.static.assim_mask(iv0),
-                              solver_dtype=solver_dtype)
-        if method == "dense" else None
-        for dp, _ in active
-    ]
+    kinds = [_resolve_kind(method, dp) for dp, _ in active]
+    perm, inv = _maybe_morton_perm(q, point_order, active, kinds, iv0)
+    if perm is not None:
+        q = q[perm]
+        xb = xb[perm]
 
     inflats = tuple(float(x) for x in inflats)
     rtpp_alpha = tuple(float(x) for x in rtpp_alpha)
@@ -242,39 +364,33 @@ def update_points_group(
     chunk = min(chunk, max(b, 1))
     n_chunks = -(-b // chunk)
     b_pad = n_chunks * chunk
-    q_p = jnp.zeros((b_pad, 3), q.dtype).at[:b].set(q)
+    # pad with the last real point (not zeros): padded points must stay
+    # spatially inside the chunk for the block-cull prepass/dmin
+    q_p = jnp.broadcast_to(q[-1:], (b_pad, 3)).at[:b].set(q)
     xb_p = jnp.zeros((b_pad, n_vars, k), xb.dtype).at[:b].set(xb)
+
+    accs = _platform_accumulators(
+        active, kinds, iv0, max_blocks, solver_dtype,
+        q_chunks=q_p.reshape(n_chunks, chunk, 3))
 
     def body(args):
         qc, xbc = args
-        a_obs = jnp.zeros((chunk, k, k), solver_dtype)
-        g = jnp.zeros((chunk, k), solver_dtype)
-        cnt = jnp.zeros((chunk,), jnp.int32)
-        for (dp, on), tab in zip(active, tables):
-            st = dp.static
-            qn = normalize_coords(qc, st.hclr[iv0], st.vclr[iv0])
-            if method == "dense":
-                a_p, g_p, c_p = dense_platform_terms(
-                    qn, on, tab, n_max=st.max_lz_pts,
-                    weight_function=weight_function,
-                    solver_dtype=solver_dtype)
-            else:
-                nb = radius_neighbors(qn, on, n_max=st.max_lz_pts,
-                                      chunk=chunk)
-                a_p, g_p, c_p = accumulate_platform_terms(
-                    nb, dp.stats, st.assim_mask(iv0), weight_function,
-                    solver_dtype=solver_dtype)
-            a_obs = a_obs + a_p
-            g = g + g_p
-            cnt = cnt + c_p
-        return letkf_solve_group_from_normal(
+        a_obs, g, cnt, ovf = _accumulate_chunk(
+            qc, accs, iv0, weight_function, solver_dtype, chunk, k)
+        xa = letkf_solve_group_from_normal(
             a_obs, g, xbc, inflats, cnt > 0,
             rtpp_alpha=rtpp_alpha, rtps_alpha=rtps_alpha,
             solver_dtype=solver_dtype)
+        return xa, ovf
 
-    xa = jax.lax.map(
+    xa, ovf = jax.lax.map(
         body,
         (q_p.reshape(n_chunks, chunk, 3),
          xb_p.reshape(n_chunks, chunk, n_vars, k)),
     )
-    return xa.reshape(b_pad, n_vars, k)[:b]
+    xa = xa.reshape(b_pad, n_vars, k)[:b]
+    if perm is not None:
+        xa = xa[inv]
+    if return_diagnostics:
+        return xa, {"bucket_overflow": jnp.sum(ovf)}
+    return xa
