@@ -82,7 +82,16 @@ def main(argv=None) -> int:
     gts_paths = [member("gts_letkf", m) for m in range(k)]
     if all(os.path.exists(p) for p in gts_paths):
         alt_path = os.path.join(args.input, "obs_gts")
-        alt = parse_obs_gts(alt_path) if os.path.exists(alt_path) else None
+        if os.path.exists(alt_path):
+            alt = parse_obs_gts(alt_path)
+        else:
+            # the reference cannot run without obs_gts (it open()s it
+            # unconditionally, gts_omboma.f90:726); we allow it for
+            # synthetic cases but say so — altitudes become 0
+            alt = None
+            print(f"WARNING: no {alt_path}; station altitudes set to 0 "
+                  "(vertical localization of GTS obs is then surface-"
+                  "relative only)", file=sys.stderr)
         obs_data.update(read_gts_ensemble(gts_paths, proj, alt))
     prefixes = ("VR", "MR") + (("MD", "MK") if args.all_radar else ())
     for prefix in prefixes:

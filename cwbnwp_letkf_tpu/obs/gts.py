@@ -194,85 +194,187 @@ class AltTable:
         return platform in self._tab
 
 
-_FLOAT_RE = re.compile(r"[-+]?\d*\.?\d+(?:[eE][-+]?\d+)?")
+_FMT_ITEM_RE = re.compile(r"(\d*)([AIFX])(\d+)(?:\.(\d+))?", re.IGNORECASE)
 
 
-def parse_obs_gts(path: str) -> AltTable:
+def parse_fortran_format(fmt: str) -> List[Tuple[str, int]]:
+    """Expand a Fortran format spec into a flat list of (kind, width) ops.
+
+    Supports what WRFDA's obs_gts formats use (gts_omboma.f90:767-790):
+    ``A/I/F/X`` edit descriptors, item repeats (``3F7.2``) and group repeats
+    (``3(F12.3,I4,F7.2)``).  Kinds: "A" str, "I" int, "F" float, "X" skip.
+    """
+    s = fmt.strip()
+    if s.startswith("(") and s.endswith(")"):
+        s = s[1:-1]
+
+    def expand(spec: str) -> List[Tuple[str, int]]:
+        ops: List[Tuple[str, int]] = []
+        i = 0
+        while i < len(spec):
+            c = spec[i]
+            if c in ", ":
+                i += 1
+                continue
+            # group repeat: <n>( ... )
+            m = re.match(r"(\d*)\(", spec[i:])
+            if m:
+                rep = int(m.group(1)) if m.group(1) else 1
+                depth = 0
+                j = i + len(m.group(0)) - 1
+                for j in range(j, len(spec)):
+                    depth += {"(": 1, ")": -1}.get(spec[j], 0)
+                    if depth == 0:
+                        break
+                inner = expand(spec[i + len(m.group(0)):j])
+                ops.extend(inner * rep)
+                i = j + 1
+                continue
+            # nX is written with the count BEFORE the X
+            m = re.match(r"(\d+)[Xx]", spec[i:])
+            if m:
+                ops.append(("X", int(m.group(1))))
+                i += len(m.group(0))
+                continue
+            m = _FMT_ITEM_RE.match(spec, i)
+            if not m:
+                raise ValueError(f"unsupported format item at {spec[i:]!r} "
+                                 f"in {fmt!r}")
+            rep = int(m.group(1)) if m.group(1) else 1
+            kind = m.group(2).upper()
+            width = int(m.group(3))
+            ops.extend([(kind, width)] * rep)
+            i = m.end()
+        return ops
+
+    return expand(s)
+
+
+def read_fortran_fields(line: str, ops: List[Tuple[str, int]]):
+    """Fixed-slice a line per the format ops (Fortran-style fixed reads).
+
+    Short lines are blank-padded; all-blank numeric fields read as 0 (the
+    Fortran BLANK='NULL' default).  A non-blank, non-numeric field raises —
+    the reference's ``iostat > 0: stop "Problem"`` (gts_omboma.f90:777-778).
+    """
+    out = []
+    pos = 0
+    width = sum(w for _, w in ops)
+    line = line.ljust(width)
+    for kind, w in ops:
+        field = line[pos:pos + w]
+        pos += w
+        if kind == "X":
+            continue
+        if kind == "A":
+            out.append(field)
+        elif field.strip() == "":
+            out.append(0 if kind == "I" else 0.0)
+        elif kind == "I":
+            out.append(int(field))
+        else:
+            out.append(float(field))
+    return out
+
+
+def parse_obs_gts(path: str, *, on_unknown_fm: str = "raise") -> AltTable:
     """Parse the WRFDA obs_gts ASCII for station altitudes.
 
-    The reference reads the record formats *from the file itself*
-    (gts_omboma.f90:767-770: INFO=/SRFC=/EACH= lines).  WRFDA's writer uses:
-      info: '(A12,1X,A19,1X,A40,1X,I6,3(F12.3,11X),6X,A40)'
-      each: '(3(F12.3,I4,F7.2),11X,3(F12.3,I4,F7.2))'
-    where the 4th (F12.3,I4,F7.2) triple on a level line is the height.
-    We parse those two fixed layouts (tolerating whitespace drift by fixed
-    slicing, like the Fortran reads).
+    Mirrors ``read_alt_info`` (gts_omboma.f90:704-901): the INFO/SRFC/EACH
+    record formats are read *from the file itself* (the three ``*_FMT =``
+    header lines, gts_omboma.f90:767-770) and every subsequent line is
+    sliced exactly per those formats — no guessed offsets.  Per report:
+    one INFO line (platform A12 -> FM code, levels I6, elevation = 3rd
+    F12.3, id = trailing A40), one skipped SRFC line, then ``levels`` EACH
+    lines whose 4th (F12.3,I4,F7.2) triple leads with the height
+    (single-level platforms read exactly one; GPSPW takes the INFO
+    elevation and reads none, gts_omboma.f90:913-921).
+
+    ``on_unknown_fm``: "raise" (default) mirrors the reference, which falls
+    out of its select-case and dies on the next misaligned read
+    (``stop "Problem"``, gts_omboma.f90:777-778); "skip" drops the report's
+    lines instead (its level count is known, so skipping is well-defined —
+    an explicit opt-out, never silent).
     """
+    if on_unknown_fm not in ("raise", "skip"):
+        raise ValueError("on_unknown_fm must be 'raise' or 'skip'")
     table = AltTable()
     with open(path) as fh:
         lines = fh.read().splitlines()
-    # skip the count headers until the EACH line, then the 3 format lines,
-    # then one header line (gts_omboma.f90:762-772)
+
+    # skip headers until the 'EACH  ' anchor line (gts_omboma.f90:763-766)
     i = 0
     while i < len(lines) and not lines[i].startswith("EACH"):
         i += 1
-    i += 1  # past EACH counts line
-    fmt_lines = 0
-    while i < len(lines) and fmt_lines < 3:
-        if "=" in lines[i][:12] or lines[i][:6].strip().endswith("_FMT"):
-            fmt_lines += 1
+    if i >= len(lines):
+        raise ValueError(f"{path}: no 'EACH' header line — not an obs_gts "
+                         "file (gts_omboma.f90:763-766)")
+    i += 1
+    # three '<NAME>_FMT  = (<fortran format>)' lines
+    fmts = {}
+    for _ in range(3):
+        if i >= len(lines):
+            raise ValueError(f"{path}: truncated format header")
+        name = lines[i][:10].strip().rstrip("=").strip()
+        paren = lines[i].find("(")
+        if paren < 0:
+            raise ValueError(f"{path}: malformed format line {lines[i]!r}")
+        fmts[name.upper()] = parse_fortran_format(lines[i][paren:])
         i += 1
-    i += 1  # header line ('#' column header)
+    info_ops = fmts.get("INFO_FMT")
+    each_ops = fmts.get("EACH_FMT")
+    if info_ops is None or each_ops is None:
+        raise ValueError(f"{path}: missing INFO_FMT/EACH_FMT headers "
+                         f"(found {sorted(fmts)})")
+    i += 1  # one column-header line (gts_omboma.f90:772)
+
+    # EACH data order: PRES, SPEED, DIR | HEIGHT, TEMP, DEW — height is the
+    # 10th numeric read, i.e. the first field of the 4th triple
+    _HEIGHT_SLOT = 9
 
     while i < len(lines):
         line = lines[i]
         if not line.strip():
             i += 1
             continue
-        # info line: 'FM-12 SYNOP ' etc in cols 1-12
-        m = re.match(r"\s*FM-?\s*(\d+)", line[:12])
+        info = read_fortran_fields(line, info_ops)
+        platform_str = info[0]            # A12, e.g. 'FM-12 SYNOP '
+        nlev = int(info[3])               # I6
+        elv = float(info[6])              # 3rd F12.3
+        ident = info[7].strip()           # trailing A40
+        m = re.match(r"\s*FM-?\s*(\d+)", platform_str)
         if not m:
-            i += 1
-            continue
+            raise ValueError(
+                f"{path}:{i + 1}: expected an FM-xx INFO line, got "
+                f"{platform_str!r} (gts_omboma.f90:784-790)")
         fm = int(m.group(1))
-        level_str = line[74:80]
-        try:
-            nlev = int(level_str)
-        except ValueError:
-            nums = _FLOAT_RE.findall(line[60:])
-            nlev = int(float(nums[0])) if nums else 1
-        # elevation: 3rd F12.3 field; id: trailing A40
-        elev_field = line[81 + 2 * 23: 81 + 2 * 23 + 12]
-        try:
-            elv = float(elev_field)
-        except ValueError:
-            elv = 0.0
-        ident = line[-40:].strip().split()[0] if line[-40:].strip() else ""
 
         entry = _FM_TABLE.get(fm)
-        i += 1
+        i += 1  # past INFO
         if entry is None:
+            if on_unknown_fm == "raise":
+                raise ValueError(
+                    f"{path}:{i}: unknown FM code {fm} (the reference's "
+                    "select-case has no branch for it and aborts on the "
+                    "next read, gts_omboma.f90:777-778); pass "
+                    "on_unknown_fm='skip' to drop such reports")
+            i += 1 + max(nlev, 1)  # SRFC + level lines
             continue
         platform, single, alt_from_header = entry
-        # skip the SRFC line
-        if i < len(lines):
-            i += 1
+        i += 1  # skip the SRFC line (gts_omboma.f90:798 etc.)
         alts: List[float] = []
         if alt_from_header:
-            alts = [elv]
+            alts = [elv]                  # GPSPW: no EACH lines read
         else:
             count = 1 if single else max(nlev, 1)
             for _ in range(count):
                 if i >= len(lines):
-                    break
-                lev_line = lines[i]; i += 1
-                # 4th triple's F12.3 = height: offset 3*23 + 11 skip
-                off = 3 * 23 + 11
-                try:
-                    alts.append(float(lev_line[off:off + 12]))
-                except ValueError:
-                    nums = _FLOAT_RE.findall(lev_line)
-                    alts.append(float(nums[9]) if len(nums) > 9 else 0.0)
+                    raise ValueError(
+                        f"{path}: truncated report for {ident!r} "
+                        f"(expected {count} level lines)")
+                fields = read_fortran_fields(lines[i], each_ops)
+                alts.append(float(fields[_HEIGHT_SLOT]))
+                i += 1
         if ident:
             table.add(platform, ident, alts if alts else [0.0])
     return table
@@ -288,6 +390,7 @@ def read_gts_ensemble(
     alt_table: Optional[AltTable] = None,
     *,
     max_workers: int = 8,
+    allow_missing_alt: bool = False,
 ) -> Dict[str, PlatformObs]:
     """Read all members' omboma files -> {family: PlatformObs}.
 
@@ -295,6 +398,14 @@ def read_gts_ensemble(
     member; per-member omb columns become ``hdxb[..., m] = obs - omb``
     (gts_omboma.f90:171) and per-member qc columns are kept (the solver's
     gate is any-member qc >= 0, letkf_core.f90:429).
+
+    Station altitudes come from ``alt_table`` (the obs_gts join,
+    gts_omboma.f90:1032-1049).  When a table is given, a family or station
+    id absent from it RAISES — the reference aborts with "ID not found!!";
+    ``allow_missing_alt=True`` is the explicit opt-out (altitude 0, only
+    sane for 2-D localization).  ``alt_table=None`` (no obs_gts file at
+    all) keeps the toy-case behavior of altitude 0 — the reference cannot
+    even start in that situation.
     """
     import jax.numpy as jnp
 
@@ -322,10 +433,19 @@ def read_gts_ensemble(
         lon = np.asarray(rec0.lon, np.float32)
         if slot_is_alt:
             alt = np.asarray(rec0.pre, np.float32)
-        elif alt_table is not None and alt_table.has(obs_type):
-            alt = np.asarray(
-                [alt_table.get(obs_type, i, l)
-                 for i, l in zip(rec0.ids, rec0.level)], np.float32)
+        elif alt_table is not None:
+            if not alt_table.has(obs_type) and not allow_missing_alt:
+                raise KeyError(
+                    f"obs_gts has no altitude entries for {obs_type.name} "
+                    f"but {name!r} reports are present (the reference "
+                    "aborts: gts_omboma.f90:1046); pass "
+                    "allow_missing_alt=True to force altitude 0")
+            if alt_table.has(obs_type):
+                alt = np.asarray(
+                    [alt_table.get(obs_type, i, l)
+                     for i, l in zip(rec0.ids, rec0.level)], np.float32)
+            else:
+                alt = np.zeros(n, np.float32)
         else:
             alt = np.zeros(n, np.float32)
         x, y = proj.lonlat_to_xy(jnp.asarray(lon), jnp.asarray(lat))
