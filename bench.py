@@ -75,8 +75,12 @@ def build_case():
         correlated_ensemble, idealized_grid, synthetic_gts_platform)
 
     rng = np.random.default_rng(0)
-    pts = idealized_grid(128, 128, 20, dx_m=3e3)
-    truth, xb = correlated_ensemble(rng, pts, K, n_bumps=8)
+    # dx=10 km x 128 -> 1280 km domain: the production domain EXTENT
+    # (450x450 @ 3 km ~ 1350 km, the scale the namelist radii were tuned
+    # for) at a benchable point count; radius-to-domain ratios match
+    # production, so spatial culling behaves as it would there.
+    pts = idealized_grid(128, 128, 20, dx_m=10e3)
+    truth, xb = correlated_ensemble(rng, pts, K, n_bumps=8, length_m=1.5e5)
 
     def radii(plat, default=-1.0):
         h = [default] * MAX_VARS

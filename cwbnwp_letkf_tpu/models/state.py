@@ -224,12 +224,16 @@ def _derive_rhoa(nc: NetcdfReader, fields, pb, phb, mub,
 
 def read_ensemble(paths: Sequence[str], cfg: LetkfConfig, *,
                   max_workers: int = 8,
-                  want_rhoa: bool = True) -> WrfEnsemble:
-    """Read all members concurrently (the reference's member-parallel ingest,
-    cwb_letkf.f90:39-52, one rank per member -> one thread per member)."""
+                  want_rhoa: bool = True,
+                  allow_subset: bool = False) -> WrfEnsemble:
+    """Read the given members concurrently (the reference's member-parallel
+    ingest, cwb_letkf.f90:39-52, one rank per member -> one thread per
+    member).  ``allow_subset=True`` permits reading fewer members than
+    ``cfg.nmember`` — the multi-host member-sharded ingest path
+    (parallel/multihost.read_members_sharded)."""
     mp = MpScheme.from_option(cfg.wrf_mp_physics, cfg.wrf_mp_hail_opt)
     k = len(paths)
-    assert k == cfg.nmember, (k, cfg.nmember)
+    assert allow_subset or k == cfg.nmember, (k, cfg.nmember)
 
     with NetcdfReader(paths[0]) as nc:
         nx = nc.get_dimension("west_east")

@@ -68,14 +68,65 @@ def replicate_obs(mesh, tree):
     return jax.tree.map(lambda a: jax.device_put(a, sharding), tree)
 
 
-def read_members_sharded(paths: Sequence[str], cfg, reader=None):
-    """Each host reads only its member slice; returns (local_paths, slice).
+def make_member_sharded(mesh, local_cols: np.ndarray):
+    """Assemble a global ``[B, k]`` array member-sharded over the mesh.
 
-    The caller feeds the local members into its local ensemble arrays and
-    assembles global ``[..., k]`` arrays member-sharded if desired; for the
-    default replicated-ensemble layout (k is small; gridpoints are the big
-    axis) every host must read every member, so this helper is only useful
-    when the ensemble axis is itself sharded across hosts.
+    ``local_cols``: this process's member columns ``[B, k_local]`` (the
+    members of :func:`my_member_slice`), the product of member-parallel
+    ingest — the reference's rank-per-member read, cwb_letkf.f90:39-52.
+    Single-process callers pass the full ``[B, k]``.
     """
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from .mesh import GRID_AXIS
+
+    sharding = NamedSharding(mesh, P(None, GRID_AXIS))
+    if jax.process_count() == 1:
+        return jax.device_put(local_cols, sharding)
+    return jax.make_array_from_process_local_data(sharding, local_cols)
+
+
+def members_to_points(mesh, arr):
+    """Reshard ``[B, k]`` from member-sharded to point-sharded layout.
+
+    THE alltoallv of the reference (letkf_scatter_grid,
+    module_mpi_util.f90:190-267), reduced to a jit identity with an output
+    sharding: GSPMD emits one all-to-all over ICI/DCN.  Ingest lands
+    member-sharded (each host wrote only its members); the update wants
+    points sharded with all k members per point — this is the single
+    transpose between those layouts per cycle.
+    """
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from .mesh import GRID_AXIS
+
+    out = NamedSharding(mesh, P(GRID_AXIS, None))
+    return jax.jit(lambda x: x, out_shardings=out)(arr)
+
+
+def read_members_sharded(paths: Sequence[str], cfg, reader=None):
+    """Member-parallel ingest: this process reads ONLY its member slice.
+
+    Returns ``(ens_local, sl)``: the ensemble object holding the members of
+    ``sl = my_member_slice(len(paths))`` (``ens_local.k == sl length``) and
+    the slice itself.  Per-variable global arrays are then assembled with
+    :func:`make_member_sharded` (columns ``ens_local.field(name)``) and
+    resharded to the update layout with :func:`members_to_points` — the
+    reference's rank-per-member read + alltoallv
+    (cwb_letkf.f90:39-52, module_mpi_util.f90:190-267).
+    """
+    if reader is None:
+        from ..models.state import read_ensemble
+
+        def reader(ps, c):
+            return read_ensemble(ps, c, allow_subset=True)
+
     sl = my_member_slice(len(paths))
-    return list(paths[sl]), sl
+    local_paths = list(paths[sl])
+    if not local_paths:
+        raise ValueError(
+            f"process owns no members ({len(paths)} members over "
+            "more processes); use fewer processes or replicate")
+    return reader(local_paths, cfg), sl
