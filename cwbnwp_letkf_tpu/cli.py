@@ -119,14 +119,25 @@ def main(argv=None) -> int:
     timer.stamp("finish letkf core")
 
     os.makedirs(args.output, exist_ok=True)
+    mean_thread = None
     if cfg.write_analy_mean:
-        timer.stamp("write analysis mean")
-        write_mean(ens, os.path.join(args.output, "wrfout_nc_mean"))
+        # overlap the mean write with the member writes — the reference runs
+        # them concurrently on disjoint ranks (cwb_letkf.f90:68-77: mean on
+        # rank nproc-1 while ranks 0..k-1 write members)
+        timer.stamp("write analysis mean (async)")
+        import threading
+
+        mean_thread = threading.Thread(
+            target=write_mean,
+            args=(ens, os.path.join(args.output, "wrfout_nc_mean")))
+        mean_thread.start()
 
     timer.stamp("write analysis ensemble")
     write_ensemble(
         ens, [os.path.join(args.output, f"wrfout_nc_{m+1:03d}")
               for m in range(k)])
+    if mean_thread is not None:
+        mean_thread.join()
     timer.stamp("finish all steps")
     if args.metrics_json:
         with open(args.metrics_json, "w") as fh:

@@ -199,12 +199,18 @@ def run_analysis(
         t_grp = time.time()
         spec0 = members[0][2]
         pts, (ux, uy, uz) = points_for(spec0)
-        fulls, xbs = [], []
-        for ivar, vname, spec in members:
+        # single host staging buffer + one transfer: filling [B, V, k] slice
+        # by slice avoids the per-variable host copy + device-side stack
+        # (round-1 did jnp.stack of V separate transfers, doubling host
+        # traffic per variable at production sizes)
+        b_pts = ux * uy * uz
+        fulls = []
+        xb_host = np.empty((b_pts, len(members), ens.k), np.float32)
+        for vi, (ivar, vname, spec) in enumerate(members):
             full, xb = read_xb(spec, ux, uy, uz)
             fulls.append(full)
-            xbs.append(xb)
-        xb_stack = jnp.stack([jnp.asarray(x) for x in xbs], axis=1)  # [B,V,k]
+            xb_host[:, vi, :] = xb
+        xb_stack = jnp.asarray(xb_host)                              # [B,V,k]
         ivars = tuple(iv for iv, _, _ in members)
         kwargs = dict(
             inflats=tuple((ens.k - 1) / infl.multi_infl[iv] for iv in ivars),

@@ -42,6 +42,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..constants import GC1999_SQ
 from .dense import DenseTables, terms_from_r2
@@ -164,17 +165,46 @@ class BucketedPlatform(NamedTuple):
         return self.fused.shape[1]
 
 
+def auto_block_size(obs_norm, *, target_radius: float = 1.25,
+                    lo: int = 64, hi: int = 1024) -> int:
+    """Density-adaptive block size: covering radius ~ ``target_radius``.
+
+    A block's covering radius adds to every candidacy test's reach
+    (``sqrt(r2_cap) + radius_b``), so blocks must stay small relative to
+    the localization ball (radius ~3.65 normalized units) REGARDLESS of obs
+    density — sparse obs over a large domain need far fewer records per
+    block than a dense radar volume.  Targets a block cube of side
+    ``2 * target_radius / sqrt(d)`` at the observed density (d = number of
+    non-degenerate axes), clamped to [lo, hi] and rounded to 64s.
+    """
+    obs = np.asarray(obs_norm)
+    ext = obs.max(0) - obs.min(0)
+    live = ext[ext > 1e-9]
+    if live.size == 0:
+        return lo
+    side = 2.0 * target_radius / np.sqrt(live.size)
+    density = obs.shape[0] / np.prod(live)
+    s = int(density * side ** live.size)
+    return int(np.clip(-(-s // 64) * 64, lo, hi))
+
+
 def bucket_platform(
     obs_norm,
     tables: DenseTables,
     *,
-    block_size: int = 256,
+    block_size: int | None = None,
 ) -> BucketedPlatform:
-    """Hilbert-sort records and cut them into fixed spatial blocks."""
+    """Hilbert-sort records and cut them into fixed spatial blocks.
+
+    ``block_size=None`` picks a density-adaptive size
+    (:func:`auto_block_size`).
+    """
     obs = jnp.asarray(obs_norm)
     r = obs.shape[0]
     if r == 0:
         raise ValueError("cannot bucket an empty platform")
+    if block_size is None:
+        block_size = auto_block_size(obs)
     center = jnp.mean(obs, axis=0, keepdims=True)   # == dense.py's center
     order = jnp.argsort(hilbert3(obs))
     obs_s = obs[order]

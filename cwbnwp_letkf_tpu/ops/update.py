@@ -49,11 +49,20 @@ BUCKET_MIN_RECORDS = 8192
 
 
 class DevicePlatform(NamedTuple):
-    """One platform's device-ready obs data + precomputed per-obs stats."""
+    """One platform's device-ready obs data + precomputed per-obs stats.
+
+    ``cache`` memoizes derived per-(assim-mask, radii, dtype) products —
+    dense tables and bucketed blockings — across variable groups and cycles.
+    Legitimate because they depend only on the immutable stats and the
+    static config (unlike the reference's kd-trees, which embed radii and
+    must be rebuilt per variable, localization.f90:35-167; our distance
+    normalization happens at query time).
+    """
 
     static: PlatformStatic
     xyz: jax.Array          # [R, 3] meters
     stats: ObsStats
+    cache: dict | None = None    # None = caching off (e.g. traced copies)
 
 
 def prepare_platform(
@@ -77,7 +86,8 @@ def prepare_platform(
         is_dbz=static.is_dbz,
         norain_value=norain_value,
     )
-    return DevicePlatform(static=static, xyz=jnp.asarray(obs.xyz), stats=stats)
+    return DevicePlatform(static=static, xyz=jnp.asarray(obs.xyz),
+                          stats=stats, cache={})
 
 
 def _resolve_kind(method: str, dp: "DevicePlatform") -> str:
@@ -105,10 +115,25 @@ def _platform_accumulators(active, kinds, iv, max_blocks, solver_dtype,
         if kind == "gather":
             accs.append((dp, on, "gather", None))
             continue
-        tab = platform_dense_tables(dp.stats, st.assim_mask(iv),
-                                    solver_dtype=solver_dtype)
+        cache = dp.cache if (dp.cache is not None
+                             and not isinstance(on, jax.core.Tracer)) \
+            else None
+        mask = st.assim_mask(iv)
+        dkey = ("dense", mask, jnp.dtype(solver_dtype).name)
+        tab = cache.get(dkey) if cache is not None else None
+        if tab is None:
+            tab = platform_dense_tables(dp.stats, mask,
+                                        solver_dtype=solver_dtype)
+            if cache is not None:
+                cache[dkey] = tab
         if kind == "bucketed":
-            bp = bucket_platform(on, tab)
+            bkey = ("bucketed", mask, jnp.dtype(solver_dtype).name,
+                    st.hclr[iv], st.vclr[iv])
+            bp = cache.get(bkey) if cache is not None else None
+            if bp is None:
+                bp = bucket_platform(on, tab)
+                if cache is not None:
+                    cache[bkey] = bp
             if max_blocks:
                 mb = max_blocks
             elif concrete:

@@ -123,11 +123,10 @@ def test_update_points_auto_matches_dense():
     dp = prepare_platform(st, po)
     q = jnp.asarray(_points(rng, 777))
     xb = jnp.asarray(rng.normal(2.0, 1.0, size=(777, K)).astype(np.float32))
-    # generous block budget: this test exercises the wiring (Morton point
-    # permutation, chunking, diagnostics); culling equivalence is covered by
-    # the unit tests above
-    kw = dict(inflat=(K - 1) / 1.2, weight_function=1, chunk=256,
-              max_blocks=64)
+    # eager call -> the exact block-budget prepass applies, so overflow
+    # is zero by construction; this test exercises the wiring (Hilbert
+    # point permutation, chunking, diagnostics)
+    kw = dict(inflat=(K - 1) / 1.2, weight_function=1, chunk=256)
 
     xa_dense = update_points(xb, q, [dp], 0, method="dense", **kw)
     xa_auto, diag = update_points(xb, q, [dp], 0, method="auto",
