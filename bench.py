@@ -165,23 +165,27 @@ def bench_production(pts, xb, plats):
         # Eager call: the bucketed block-budget prepass runs per platform
         # (exact, overflow-free); the chunk loop itself is one traced
         # lax.map, so per-cycle dispatch overhead is a handful of ops.
-        def run(kw=kw, xb_v=xb_v):
-            xa = update_points_group(xb_v, pts_d, dev, **kw)
-            return _fetch(xa)
+        def dispatch(kw=kw, xb_v=xb_v):
+            return update_points_group(xb_v, pts_d, dev, **kw)
 
-        runs.append((name, nv, run))
+        runs.append((name, nv, dispatch))
 
     _log("warming production groups")
-    for name, _, run in runs:
-        run()
+    for name, _, dispatch in runs:
+        _fetch(dispatch())
         _log(f"group {name} compiled")
+    # the cycle dispatches ALL groups, then fetches once per result: device
+    # work for group g+1 queues behind g with no host round-trip between
+    # (the reference's variable loop has a blocking gather per variable,
+    # letkf_core.f90:243-291 — nothing forces that here)
     t0 = time.time()
-    for _, _, run in runs:
-        run()
+    outs = [dispatch() for _, _, dispatch in runs]
+    for xa in outs:
+        _fetch(xa)
     cycle_wall = time.time() - t0
     per_group = {}
-    for name, _, run in runs:
-        per_group[name] = round(_best_of(run), 2)
+    for name, _, dispatch in runs:
+        per_group[name] = round(_best_of(lambda: _fetch(dispatch())), 2)
 
     vpps = N_VARS * b / cycle_wall
     return vpps, {
@@ -258,19 +262,28 @@ def bench_solver_rates():
     out["ns_est_tflops"] = round(achieved / 1e12, 2)
     out["ns_mxu_util_est"] = round(achieved / 49e12, 3)
 
-    # float64 parity-mode solve (XLA eigh path; TPU f64 is emulated).
-    g = jnp.asarray(rng.standard_normal((512, K)).astype(np.float64))
-    xbv = jnp.asarray(rng.standard_normal((512, 2, K)).astype(np.float64))
-    a64 = jnp.asarray(np.asarray(a_obs[:512], np.float64))
-    f64 = jax.jit(lambda a, g, x: letkf_solve_group_from_normal(
-        a, g, x, ((K - 1) / 1.1, (K - 1) / 1.6), jnp.ones(512, bool),
-        rtpp_alpha=(0.95, 0.95), rtps_alpha=(0.95, 0.95),
-        solver_dtype=jnp.float64))
+    # float64 parity-mode solve (XLA eigh path; TPU f64 is emulated) vs the
+    # same-shape float32 NS solve — quantifies SURVEY hard part (d).  Batch
+    # must be large enough that the d2h completion fetch (~25 ms through
+    # the tunnel) doesn't dominate.
+    nb = bsz
+    g = jnp.asarray(rng.standard_normal((nb, K)).astype(np.float64))
+    xbv = jnp.asarray(rng.standard_normal((nb, 2, K)).astype(np.float64))
+    a64 = jnp.asarray(np.asarray(a_obs, np.float64))
+
+    def solve(a, g, x, dt):
+        return letkf_solve_group_from_normal(
+            a, g, x, ((K - 1) / 1.1, (K - 1) / 1.6), jnp.ones(nb, bool),
+            rtpp_alpha=(0.95, 0.95), rtps_alpha=(0.95, 0.95),
+            solver_dtype=dt)
+
+    f32 = jax.jit(lambda a, g, x: solve(a, g, x, jnp.float32))
+    out["f32_solve_points_per_s"] = round(
+        rate(f32, a_obs, g.astype(jnp.float32), xbv.astype(jnp.float32),
+             n=5), 0)
+    f64 = jax.jit(lambda a, g, x: solve(a, g, x, jnp.float64))
     try:
-        _fetch(f64(a64, g, xbv))
-        t0 = time.time()
-        _fetch(f64(a64, g, xbv))
-        out["f64_solve_points_per_s"] = round(512 / (time.time() - t0), 0)
+        out["f64_solve_points_per_s"] = round(rate(f64, a64, g, xbv, n=2), 0)
     except Exception as e:  # pragma: no cover - f64 may be unsupported
         out["f64_solve_points_per_s"] = f"unavailable: {type(e).__name__}"
     return out

@@ -461,19 +461,36 @@ def read_gts_ensemble(
 # ---------------------------------------------------------------------------
 
 def write_member_file(path: str, families: Dict[str, GtsRecords]):
-    """Emit a gts_omboma-format file (single-level reports only)."""
+    """Emit a gts_omboma-format file, including multi-level reports.
+
+    Mirrors the reference's echo writer (write_gts_omboma,
+    gts_omboma.f90:613-702): per family a ``(a20,i8)`` header whose count
+    is the number of REPORTS, then per report a ``(2i8)`` nlev/nreq line
+    and nlev record lines in the
+    ``(2i8,a5,2f9.2,f17.7,5(2f17.7,i8,2f17.7))`` layout.  Flattened
+    :class:`GtsRecords` levels are regrouped into reports wherever
+    ``level`` restarts at 1 (the inverse of :func:`parse_member_file`).
+    """
     with open(path, "w") as fh:
         for name, rec in families.items():
             nvar = FAMILY[name][1]
-            fh.write(f"{name:<20s}{len(rec.ids):8d}\n")
-            for r in range(len(rec.ids)):
-                fh.write(f"{1:8d}{nvar:8d}\n")
-                parts = [f"{1:8d}{1:8d}{rec.ids[r]:<5.5s}"
-                         f"{rec.lat[r]:9.2f}{rec.lon[r]:9.2f}"
-                         f"{rec.pre[r]:17.7f}"]
-                for v in range(nvar):
-                    parts.append(
-                        f"{rec.obs[r][v]:17.7f}{rec.omb[r][v]:17.7f}"
-                        f"{rec.qc[r][v]:8d}{rec.err[r][v]:17.7f}"
-                        f"{0.0:17.7f}")
-                fh.write("".join(parts) + "\n")
+            n = len(rec.ids)
+            levels = rec.level if rec.level else [1] * n
+            reports: List[List[int]] = []
+            for r in range(n):
+                if levels[r] == 1 or not reports:
+                    reports.append([])
+                reports[-1].append(r)
+            fh.write(f"{name:<20s}{len(reports):8d}\n")
+            for rep in reports:
+                fh.write(f"{len(rep):8d}{nvar:8d}\n")
+                for li, r in enumerate(rep):
+                    parts = [f"{len(rep):8d}{li + 1:8d}{rec.ids[r]:<5.5s}"
+                             f"{rec.lat[r]:9.2f}{rec.lon[r]:9.2f}"
+                             f"{rec.pre[r]:17.7f}"]
+                    for v in range(nvar):
+                        parts.append(
+                            f"{rec.obs[r][v]:17.7f}{rec.omb[r][v]:17.7f}"
+                            f"{rec.qc[r][v]:8d}{rec.err[r][v]:17.7f}"
+                            f"{0.0:17.7f}")
+                    fh.write("".join(parts) + "\n")
