@@ -145,6 +145,12 @@ def ns_invsqrt(a_obs, inflat, *, tol: float = 1e-4, max_iters: int = 24):
     def step(state):
         y, z, _, i = state
         w = mm(z, y)
+        # (Per-step scalar rescaling was tried and REVERTED: any mu with
+        # lam_max(W) * mu^2 > 3 diverges, and cheap estimates like
+        # k/trace(W) under-measure lam_max for the skewed spectra
+        # ill-conditioned A produces — exactly when acceleration would
+        # matter.  The plain iteration's contraction region is lam in
+        # (0, 3), guaranteed here by the Gershgorin initial scale.)
         t = 0.5 * (3.0 * eye - w)
         err = jnp.max(jnp.abs(w - eye))
         return mm(y, t), mm(t, z), err, i + 1
