@@ -142,7 +142,8 @@ def bench_production(pts, xb, plats):
     """Production-grouped cycle: returns (var-point updates/s, detail)."""
     import jax
     import jax.numpy as jnp
-    from cwbnwp_letkf_tpu.ops.update import (prepare_platform,
+    from cwbnwp_letkf_tpu.ops.update import (plan_max_blocks,
+                                             prepare_platform,
                                              update_points_group)
 
     dev = [prepare_platform(st, po) for st, po in plats]
@@ -160,13 +161,27 @@ def bench_production(pts, xb, plats):
             rtpp_alpha=(RTPP,) * nv,
             rtps_alpha=(RTPS,) * nv,
             chunk=2048)
-        xb_v = jnp.broadcast_to(xb_d[:, None, :], (b, nv, K))
 
-        # Eager call: the bucketed block-budget prepass runs per platform
-        # (exact, overflow-free); the chunk loop itself is one traced
-        # lax.map, so per-cycle dispatch overhead is a handful of ops.
-        def dispatch(kw=kw, xb_v=xb_v):
-            return update_points_group(xb_v, pts_d, dev, **kw)
+        # plan eagerly (the exact overflow-free bucketed block budgets need
+        # concrete points), then trace the WHOLE group update into one
+        # program — the eager path dispatches dozens of small host->device
+        # ops per call, which costs ~1s/group through the remote tunnel
+        if os.environ.get("CWBNWP_BENCH_NO_FETCH"):
+            # tunnel-outage fallback: planning needs a d2h scalar fetch;
+            # heuristic budgets apply instead (overflow diagnostics lost)
+            budgets = None
+        else:
+            _log(f"planning {name}")
+            budgets = plan_max_blocks(pts_d, dev, ivars[0], chunk=2048)
+
+        @jax.jit
+        def group_fn(xb_a, pts_a, kw=kw, budgets=budgets, nv=nv):
+            xb_v = jnp.broadcast_to(xb_a[:, None, :], (b, nv, K))
+            return update_points_group(xb_v, pts_a, dev,
+                                       max_blocks=budgets, **kw)
+
+        def dispatch(fn=group_fn):
+            return fn(xb_d, pts_d)
 
         runs.append((name, nv, dispatch))
 
@@ -374,7 +389,7 @@ def _measure(queue):
     queue.put((vpps, detail, cpu_core_pps))
 
 
-def _measure_with_retries(attempts=3, timeout_s=520.0):
+def _measure_with_retries(attempts=3, timeout_s=900.0):
     """Run the measurement in a child with a watchdog.
 
     The TPU tunnel intermittently wedges a process mid-transfer/compile
@@ -388,7 +403,10 @@ def _measure_with_retries(attempts=3, timeout_s=520.0):
         if attempt >= 1:
             # Retries start with warm compile caches; a hang at full budget
             # was a tunnel wedge, so also drop the D2H completion fetch.
-            timeout_s = 400.0
+            # Give the tunnel a cool-down first — killing a process
+            # mid-compile wedges the next process's first transfer.
+            time.sleep(30)
+            timeout_s = 500.0
             os.environ["CWBNWP_BENCH_NO_FETCH"] = "1"
         q = ctx.Queue()
         p = ctx.Process(target=_measure, args=(q,))

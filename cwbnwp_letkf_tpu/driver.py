@@ -26,8 +26,8 @@ from .models.variables import VAR_TABLE
 from .models.vcoord import analysis_points, mean_geopotential_height
 from .obs.base import PlatformObs, PlatformStatic, platform_statics_from_config
 from .ops.solver import tune_q
-from .ops.update import (DevicePlatform, prepare_platform, update_points,
-                         update_points_group)
+from .ops.update import (DevicePlatform, plan_max_blocks, prepare_platform,
+                         update_points, update_points_group)
 from .projection import LambertProjection
 
 
@@ -224,12 +224,24 @@ def run_analysis(
             solver_dtype=solver_dtype,
             chunk=chunk,
         )
+        # plan the exact bucketed block budgets eagerly, then run the whole
+        # group as ONE jitted program (eager dispatch of the few dozen
+        # host->device ops per group costs real wall time on remote
+        # backends; see ops/update.plan_max_blocks)
+        pts_d = jnp.asarray(pts)
+        budgets = plan_max_blocks(pts_d, platforms, ivars[0], chunk=chunk,
+                                  solver_dtype=solver_dtype)
         if mesh is not None:
             xa_stack = sharded_update_points_group(
-                mesh, xb_stack, jnp.asarray(pts), platforms, ivars, **kwargs)
+                mesh, xb_stack, pts_d, platforms, ivars,
+                max_blocks=budgets or None, **kwargs)
         else:
-            xa_stack = update_points_group(
-                xb_stack, jnp.asarray(pts), platforms, ivars, **kwargs)
+            import jax
+
+            fn = jax.jit(lambda xb_s, pts_s: update_points_group(
+                xb_s, pts_s, platforms, ivars,
+                max_blocks=budgets or None, **kwargs))
+            xa_stack = fn(xb_stack, pts_d)
         for vi, (ivar, vname, spec) in enumerate(members):
             xa = xa_stack[:, vi, :]
             if spec.tune_q:

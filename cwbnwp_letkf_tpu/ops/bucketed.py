@@ -177,6 +177,10 @@ def auto_block_size(obs_norm, *, target_radius: float = 1.25,
     ``2 * target_radius / sqrt(d)`` at the observed density (d = number of
     non-degenerate axes), clamped to [lo, hi] and rounded to 64s.
     """
+    if isinstance(obs_norm, jax.core.Tracer):
+        # under an enclosing jit the density is unknowable at trace time;
+        # callers wanting the adaptive size build (or plan) eagerly first
+        return 256
     obs = np.asarray(obs_norm)
     ext = obs.max(0) - obs.min(0)
     live = ext[ext > 1e-9]

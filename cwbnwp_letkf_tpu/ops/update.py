@@ -115,16 +115,19 @@ def _platform_accumulators(active, kinds, iv, max_blocks, solver_dtype,
         if kind == "gather":
             accs.append((dp, on, "gather", None))
             continue
-        cache = dp.cache if (dp.cache is not None
-                             and not isinstance(on, jax.core.Tracer)) \
-            else None
+        # The cache may be READ inside a jit trace (its values are concrete
+        # arrays captured as constants — e.g. populated by an earlier eager
+        # call or plan_max_blocks); it must only be WRITTEN with concrete
+        # values, so stores are skipped when `on` is a tracer.
+        cache = dp.cache
+        storable = cache is not None and not isinstance(on, jax.core.Tracer)
         mask = st.assim_mask(iv)
         dkey = ("dense", mask, jnp.dtype(solver_dtype).name)
         tab = cache.get(dkey) if cache is not None else None
         if tab is None:
             tab = platform_dense_tables(dp.stats, mask,
                                         solver_dtype=solver_dtype)
-            if cache is not None:
+            if storable:
                 cache[dkey] = tab
         if kind == "bucketed":
             bkey = ("bucketed", mask, jnp.dtype(solver_dtype).name,
@@ -132,10 +135,12 @@ def _platform_accumulators(active, kinds, iv, max_blocks, solver_dtype,
             bp = cache.get(bkey) if cache is not None else None
             if bp is None:
                 bp = bucket_platform(on, tab)
-                if cache is not None:
+                if storable:
                     cache[bkey] = bp
-            if max_blocks:
-                mb = max_blocks
+            mb_req = (max_blocks.get(st.name)
+                      if isinstance(max_blocks, dict) else max_blocks)
+            if mb_req:
+                mb = mb_req
             elif concrete:
                 flat = q_chunks.reshape(-1, 3)
                 qn = normalize_coords(flat, st.hclr[iv], st.vclr[iv])
@@ -208,6 +213,47 @@ def _maybe_morton_perm(q, point_order, active, kinds, iv):
     return perm, jnp.argsort(perm)
 
 
+def plan_max_blocks(
+    points_xyz,
+    platforms: Sequence[DevicePlatform],
+    ivar: int,
+    *,
+    chunk: int = 4096,
+    method: str = "auto",
+    point_order: str = "auto",
+    solver_dtype=jnp.float32,
+) -> dict:
+    """Precompute per-platform bucketed block budgets for a jitted update.
+
+    The exact prepass needs concrete points, so it cannot run inside an
+    enclosing ``jax.jit``.  Call this once eagerly with the same
+    ``points_xyz``/``chunk``/``method`` the update will use, then pass the
+    returned ``{platform_name: max_blocks}`` dict as ``max_blocks`` — the
+    whole update then traces into ONE program (the eager path dispatches
+    dozens of small ops per call, which costs real wall time on remote
+    backends).
+    """
+    q = jnp.asarray(points_xyz)
+    b = q.shape[0]
+    active = [(dp, normalize_coords(dp.xyz, dp.static.hclr[ivar],
+                                    dp.static.vclr[ivar]))
+              for dp in platforms
+              if dp.static.active(ivar) and dp.xyz.shape[0] > 0]
+    kinds = [_resolve_kind(method, dp) for dp, _ in active]
+    perm, _ = _maybe_morton_perm(q, point_order, active, kinds, ivar)
+    if perm is not None:
+        q = q[perm]
+    chunk = min(chunk, max(b, 1))
+    n_chunks = -(-b // chunk)
+    b_pad = n_chunks * chunk
+    q_p = jnp.broadcast_to(q[-1:], (b_pad, 3)).at[:b].set(q)
+    accs = _platform_accumulators(
+        active, kinds, ivar, None, solver_dtype,
+        q_chunks=q_p.reshape(n_chunks, chunk, 3))
+    return {dp.static.name: payload[1]
+            for dp, _, kind, payload in accs if kind == "bucketed"}
+
+
 def update_points(
     xb,
     points_xyz,
@@ -223,7 +269,7 @@ def update_points(
     solver_dtype=jnp.float32,
     chunk: int = 4096,
     method: str = "auto",
-    max_blocks: int | None = None,
+    max_blocks: int | dict | None = None,
     point_order: str = "auto",
     return_diagnostics: bool = False,
 ):
@@ -325,7 +371,7 @@ def update_points_group(
     solver_dtype=jnp.float32,
     chunk: int = 4096,
     method: str = "auto",
-    max_blocks: int | None = None,
+    max_blocks: int | dict | None = None,
     point_order: str = "auto",
     return_diagnostics: bool = False,
 ):

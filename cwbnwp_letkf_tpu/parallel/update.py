@@ -34,6 +34,7 @@ def sharded_update_points(
     rtps_alpha: float = 0.85,
     solver_dtype=jnp.float32,
     chunk: int = 4096,
+    max_blocks=None,
 ):
     """Run :func:`~cwbnwp_letkf_tpu.ops.update.update_points` SPMD.
 
@@ -66,7 +67,7 @@ def sharded_update_points(
             inflat=inflat, weight_function=weight_function,
             use_rtpp=use_rtpp, rtpp_alpha=rtpp_alpha,
             use_rtps=use_rtps, rtps_alpha=rtps_alpha,
-            solver_dtype=solver_dtype, chunk=chunk)
+            solver_dtype=solver_dtype, chunk=chunk, max_blocks=max_blocks)
 
     f = jax.shard_map(
         local,
@@ -90,6 +91,7 @@ def sharded_update_points_group(
     rtps_alpha,
     solver_dtype=jnp.float32,
     chunk: int = 4096,
+    max_blocks=None,
 ):
     """SPMD variant of :func:`~cwbnwp_letkf_tpu.ops.update.update_points_group`.
 
@@ -121,7 +123,7 @@ def sharded_update_points_group(
             xb_l, q_l, plats, ivars,
             inflats=inflats, weight_function=weight_function,
             rtpp_alpha=rtpp_alpha, rtps_alpha=rtps_alpha,
-            solver_dtype=solver_dtype, chunk=chunk)
+            solver_dtype=solver_dtype, chunk=chunk, max_blocks=max_blocks)
 
     f = jax.shard_map(
         local,

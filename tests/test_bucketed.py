@@ -136,6 +136,27 @@ def test_update_points_auto_matches_dense():
                                rtol=3e-5, atol=3e-5)
 
 
+def test_plan_then_jit_matches_eager():
+    """plan_max_blocks + jitted update == eager update, bitwise."""
+    import jax
+
+    from cwbnwp_letkf_tpu.ops.update import plan_max_blocks
+
+    rng = np.random.default_rng(3)
+    st, po = _platform(rng, 9000, hclr=12.0, vclr=1.0)
+    dp = prepare_platform(st, po)
+    q = jnp.asarray(_points(rng, 777))
+    xb = jnp.asarray(rng.normal(2.0, 1.0, size=(777, K)).astype(np.float32))
+    kw = dict(inflat=(K - 1) / 1.2, weight_function=1, chunk=256)
+
+    xa_eager = np.asarray(update_points(xb, q, [dp], 0, **kw))
+    budgets = plan_max_blocks(q, [dp], 0, chunk=256)
+    assert budgets and all(v > 0 for v in budgets.values())
+    fn = jax.jit(lambda xb_, q_: update_points(xb_, q_, [dp], 0,
+                                               max_blocks=budgets, **kw))
+    np.testing.assert_array_equal(np.asarray(fn(xb, q)), xa_eager)
+
+
 def test_morton_locality():
     """Morton order: consecutive keys are spatial neighbors on a grid."""
     g = np.stack(np.meshgrid(np.arange(16.0), np.arange(16.0),
