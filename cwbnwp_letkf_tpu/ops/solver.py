@@ -102,7 +102,8 @@ def _use_ns(a_obs) -> bool:
 
 
 @jax.named_scope("ns_invsqrt")
-def ns_invsqrt(a_obs, inflat, *, tol: float = 1e-4, max_iters: int = 24):
+def ns_invsqrt(a_obs, inflat, *, tol: float = 1e-4, max_iters: int = 24,
+               mixed: bool = False):
     """Batched ``Z ~= (a_obs + inflat*I)^(-1/2)`` by coupled Newton-Schulz.
 
     The LETKF solve never needs eigenpairs — only ``A^(-1) g`` and
@@ -138,29 +139,49 @@ def ns_invsqrt(a_obs, inflat, *, tol: float = 1e-4, max_iters: int = 24):
     y = a / c[:, None, None]
     z = jnp.broadcast_to(eye, a.shape)
 
-    def mm(p, q):
-        return jnp.einsum("bij,bjk->bik", p, q, precision=_HI,
-                          preferred_element_type=dt)
+    def make_step(precision):
+        def mm(p, q):
+            return jnp.einsum("bij,bjk->bik", p, q, precision=precision,
+                              preferred_element_type=dt)
 
-    def step(state):
-        y, z, _, i = state
-        w = mm(z, y)
-        # (Per-step scalar rescaling was tried and REVERTED: any mu with
-        # lam_max(W) * mu^2 > 3 diverges, and cheap estimates like
-        # k/trace(W) under-measure lam_max for the skewed spectra
-        # ill-conditioned A produces — exactly when acceleration would
-        # matter.  The plain iteration's contraction region is lam in
-        # (0, 3), guaranteed here by the Gershgorin initial scale.)
-        t = 0.5 * (3.0 * eye - w)
-        err = jnp.max(jnp.abs(w - eye))
-        return mm(y, t), mm(t, z), err, i + 1
+        def step(state):
+            y, z, _, i = state
+            w = mm(z, y)
+            # (Per-step scalar rescaling was tried and REVERTED: any mu
+            # with lam_max(W) * mu^2 > 3 diverges, and cheap estimates like
+            # k/trace(W) under-measure lam_max for the skewed spectra
+            # ill-conditioned A produces — exactly when acceleration would
+            # matter.  The plain iteration's contraction region is lam in
+            # (0, 3), guaranteed here by the Gershgorin initial scale.)
+            t = 0.5 * (3.0 * eye - w)
+            err = jnp.max(jnp.abs(w - eye))
+            return mm(y, t), mm(t, z), err, i + 1
 
-    def cond(state):
-        _, _, err, i = state
-        return jnp.logical_and(err > tol, i < max_iters)
+        return step
 
-    y, z, _, _ = jax.lax.while_loop(
-        cond, step, (y, z, jnp.asarray(jnp.inf, dt), jnp.asarray(0)))
+    def run(state, step, stop_tol, iter_cap):
+        def cond(s):
+            return jnp.logical_and(s[2] > stop_tol, s[3] < iter_cap)
+
+        return jax.lax.while_loop(cond, step, state)
+
+    state = (y, z, jnp.asarray(jnp.inf, dt), jnp.asarray(0))
+    if mixed and dt == jnp.float32:
+        # Mixed precision (OFF by default — measured on v5e at
+        # [4096,40,40]: no speedup, the batched 40x40 matmuls are
+        # padding-bound on the 128x128 MXU, not pass-count-bound, and the
+        # residual floor worsens 100x).  Kept for documentation + larger-k
+        # regimes: the growth phase runs HIGH (bf16_3x) matmuls, the
+        # endgame HIGHEST.  One-pass bf16 (DEFAULT) DIVERGES at
+        # kappa ~ 1e3: its rounding breaks the y = A_c z commuting
+        # invariant faster than the iteration contracts, so W's spectrum
+        # escapes (0,3).
+        state = run(state, make_step(jax.lax.Precision.HIGH),
+                    jnp.asarray(0.08, dt), max_iters - 6)
+        state = (state[0], state[1], jnp.asarray(jnp.inf, dt), state[3])
+        # the HIGHEST phase always gets >= 6 steps even if phase 1
+        # exhausted its budget without reaching the handoff threshold
+    y, z, _, _ = run(state, make_step(_HI), tol, max_iters)
     return z / jnp.sqrt(c)[:, None, None]
 
 
