@@ -368,6 +368,10 @@ def _measure(queue):
                       os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                    ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # without x64, "float64" silently downcasts to f32 and the f64 parity
+    # measurement would be fiction; all production-path dtypes are explicit
+    # f32, so enabling it changes nothing else
+    jax.config.update("jax_enable_x64", True)
 
     pts, xb, plats = build_case()
     _log("case built")

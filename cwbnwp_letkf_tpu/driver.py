@@ -138,6 +138,9 @@ def run_analysis(
     solver_dtype = jnp.float64 if cfg.solver_dtype == "float64" else jnp.float32
     quirk = cfg.replicate_stagger_quirk
 
+    if mesh is not None:
+        metrics.record_mesh(mesh, ens.nx * ens.ny * ens.nz)
+
     z_w = mean_geopotential_height(ens)
     pts_cache: Dict[Tuple[int, int], Tuple[np.ndarray, Tuple[int, int, int]]] = {}
     infl = cfg.inflation

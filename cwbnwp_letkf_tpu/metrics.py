@@ -51,6 +51,9 @@ class RunMetrics:
     groups: List[GroupMetrics] = field(default_factory=list)
     #: optional per-stage device-time attribution (profiling.device_breakdown)
     device_breakdown: Optional[Dict[str, float]] = None
+    #: optional mesh/sharding layout (the reference's rank->columns ownership
+    #: dump to rsl.out.0000, mpi_util.f90:177-187)
+    mesh_layout: Optional[dict] = None
     _t0: float = field(default_factory=time.time)
     _last: float = field(default_factory=time.time)
 
@@ -74,6 +77,17 @@ class RunMetrics:
 
     def add_group(self, variables: List[str], points: int, wall_s: float):
         self.groups.append(GroupMetrics(variables, points, wall_s))
+
+    def record_mesh(self, mesh, n_points: int) -> None:
+        """Record the device-mesh decomposition (rsl.out.0000 analog)."""
+        n = int(mesh.devices.size)
+        self.mesh_layout = {
+            "devices": n,
+            "axes": {str(k): int(v) for k, v in mesh.shape.items()},
+            "points_per_device": -(-int(n_points) // n),
+            "device_kinds": sorted({d.device_kind
+                                    for d in mesh.devices.flat}),
+        }
 
     @property
     def total_var_points(self) -> int:
@@ -104,6 +118,8 @@ class RunMetrics:
                 self.total_var_points / self.update_wall_s, 1)
             if self.update_wall_s else 0.0,
         }
+        if self.mesh_layout is not None:
+            out["mesh_layout"] = self.mesh_layout
         if self.device_breakdown is not None:
             out["device_breakdown"] = {
                 k: round(float(v), 6) for k, v in self.device_breakdown.items()

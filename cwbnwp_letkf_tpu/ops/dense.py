@@ -186,8 +186,14 @@ def terms_from_r2(
         # (exp(0.25*r2))^-2, letkf_core.f90:444
     gm = jnp.where(sel, w2, 0.0).astype(solver_dtype)              # [C, R]
 
+    # bf16_3x carries an f32-grade significand: measured 1.4e-5 relative vs
+    # HIGHEST on this matmul at 1.6x the throughput (v5e); float64 parity
+    # runs keep full precision.  The count matmul below stays HIGHEST — its
+    # result is truncated to int, so even 1-ulp-low sums would be wrong.
+    acc_prec = (jax.lax.Precision.HIGH
+                if jnp.dtype(solver_dtype) == jnp.float32 else _HI)
     out = jnp.dot(gm, fused.astype(solver_dtype),
-                  precision=_HI, preferred_element_type=solver_dtype)
+                  precision=acc_prec, preferred_element_type=solver_dtype)
     a_obs = out[:, :k * k].reshape(c, k, k)
     g = out[:, k * k:]
     count = jnp.dot(sel.astype(jnp.float32),

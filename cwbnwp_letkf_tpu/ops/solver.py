@@ -133,8 +133,12 @@ def ns_invsqrt(a_obs, inflat, *, tol: float = 1e-4, max_iters: int = 24,
     dt = a_obs.dtype
     eye = jnp.eye(k, dtype=dt)
     a = a_obs + jnp.asarray(inflat, dt) * eye
-    # Gershgorin upper bound on lam_max; A is PSD so diagonal dominates scale
-    c = jnp.max(jnp.sum(jnp.abs(a), axis=-1), axis=-1)          # [B]
+    # Gershgorin upper bound on lam_max, then 1.9x looser: stability only
+    # needs spectrum(A/c) in (0, 2) (contraction region of the map is
+    # (0, 3)), and lam_max / (G/1.9) <= 1.9 since G >= lam_max.  The looser
+    # scale grows lam_min 1.9x faster — measured one iteration saved at
+    # every conditioning with equal-or-better residuals.
+    c = jnp.max(jnp.sum(jnp.abs(a), axis=-1), axis=-1) / 1.9    # [B]
     c = jnp.maximum(c, jnp.finfo(dt).tiny)
     y = a / c[:, None, None]
     z = jnp.broadcast_to(eye, a.shape)
