@@ -184,9 +184,16 @@ def run_analysis(
                     chunk=chunk,
                 )
                 if mesh is not None:
+                    # per-shard budget planning: inside shard_map the exact
+                    # prepass cannot run (traced), so unplanned budgets fall
+                    # back to the heuristic and can silently drop obs
+                    budgets = plan_max_blocks(
+                        jnp.asarray(pts), platforms, ivar, chunk=chunk,
+                        solver_dtype=solver_dtype,
+                        n_shards=int(mesh.devices.size))
                     xa = sharded_update_points(
                         mesh, jnp.asarray(xb), jnp.asarray(pts), platforms,
-                        ivar, **kwargs)
+                        ivar, max_blocks=budgets or None, **kwargs)
                 else:
                     xa = update_points(
                         jnp.asarray(xb), jnp.asarray(pts), platforms, ivar,
@@ -227,31 +234,50 @@ def run_analysis(
             solver_dtype=solver_dtype,
             chunk=chunk,
         )
-        # plan the exact bucketed block budgets eagerly, then run the whole
-        # group as ONE jitted program (eager dispatch of the few dozen
-        # host->device ops per group costs real wall time on remote
-        # backends; see ops/update.plan_max_blocks)
+        # plan the exact bucketed block budgets eagerly — PER SHARD when a
+        # mesh is given, since each device chunks its local slice in its own
+        # Hilbert order — then run the whole group as ONE jitted program
+        # (eager dispatch of the few dozen host->device ops per group costs
+        # real wall time on remote backends; see ops/update.plan_max_blocks)
         pts_d = jnp.asarray(pts)
+        n_shards = int(mesh.devices.size) if mesh is not None else 1
         budgets = plan_max_blocks(pts_d, platforms, ivars[0], chunk=chunk,
-                                  solver_dtype=solver_dtype)
+                                  solver_dtype=solver_dtype,
+                                  n_shards=n_shards)
         if mesh is not None:
-            xa_stack = sharded_update_points_group(
+            xa_stack, diag = sharded_update_points_group(
                 mesh, xb_stack, pts_d, platforms, ivars,
-                max_blocks=budgets or None, **kwargs)
+                max_blocks=budgets or None, return_diagnostics=True,
+                **kwargs)
         else:
             import jax
 
             fn = jax.jit(lambda xb_s, pts_s: update_points_group(
                 xb_s, pts_s, platforms, ivars,
-                max_blocks=budgets or None, **kwargs))
-            xa_stack = fn(xb_stack, pts_d)
+                max_blocks=budgets or None, return_diagnostics=True,
+                **kwargs))
+            xa_stack, diag = fn(xb_stack, pts_d)
         for vi, (ivar, vname, spec) in enumerate(members):
             xa = xa_stack[:, vi, :]
             if spec.tune_q:
                 xa = tune_q(xa)  # letkf_core.f90:252-278
             write_xa(spec, fulls[vi], xa, ux, uy, uz)
+        overflow = int(diag["bucket_overflow"])
+        ns_resid = float(diag["ns_residual"])
+        if overflow:
+            # planned budgets make this impossible; reaching it means a
+            # caller bypassed planning (heuristic budgets) and obs were
+            # silently dropped — surface it loudly
+            import warnings
+
+            warnings.warn(
+                f"group {names}: bucketed accumulation dropped "
+                f"{overflow} candidate block(s); analysis is missing obs. "
+                "Size max_blocks via plan_max_blocks (n_shards=mesh size).",
+                RuntimeWarning, stacklevel=2)
         metrics.add_group([v for _, v, _ in members], int(pts.shape[0]),
-                          time.time() - t_grp)
+                          time.time() - t_grp,
+                          bucket_overflow=overflow, ns_residual=ns_resid)
 
     metrics.stage("update")
 

@@ -40,6 +40,12 @@ class GroupMetrics:
     variables: List[str]
     points: int
     wall_s: float
+    #: bucketed candidate-block budget overruns (obs silently dropped when
+    #: nonzero — plan_max_blocks-sized budgets keep this 0 by construction)
+    bucket_overflow: int = 0
+    #: Newton-Schulz convergence certificate: max |ZY - I| at loop exit
+    #: (0.0 on eigh backends; > tol means the iteration budget ran out)
+    ns_residual: float = 0.0
 
 
 @dataclass
@@ -75,8 +81,10 @@ class RunMetrics:
             slots=int(valid.size),
         ))
 
-    def add_group(self, variables: List[str], points: int, wall_s: float):
-        self.groups.append(GroupMetrics(variables, points, wall_s))
+    def add_group(self, variables: List[str], points: int, wall_s: float,
+                  bucket_overflow: int = 0, ns_residual: float = 0.0):
+        self.groups.append(GroupMetrics(variables, points, wall_s,
+                                        bucket_overflow, ns_residual))
 
     def record_mesh(self, mesh, n_points: int) -> None:
         """Record the device-mesh decomposition (rsl.out.0000 analog)."""
@@ -109,7 +117,9 @@ class RunMetrics:
             ],
             "groups": [
                 {"variables": g.variables, "points": g.points,
-                 "wall_s": round(g.wall_s, 4)}
+                 "wall_s": round(g.wall_s, 4),
+                 "bucket_overflow": g.bucket_overflow,
+                 "ns_residual": round(g.ns_residual, 8)}
                 for g in self.groups
             ],
             "total_var_points": self.total_var_points,

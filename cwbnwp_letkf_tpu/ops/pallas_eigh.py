@@ -121,10 +121,18 @@ def _jacobi_kernel(pq_ref, a_ref, lam_ref, v_ref, a_s, v_s, *, k: int,
         vq = v_s[:, q, :]
         v_s[:, p, :] = c * vp - s * vq
         v_s[:, q, :] = s * vp + c * vq
-        return 0
+        return jnp.int32(0)
 
-    jax.lax.fori_loop(0, sweeps * n_rot,
-                      lambda i, carry: rotate(i % n_rot, carry), 0)
+    # int32 bounds, carry AND modulus: under jax_enable_x64 Python ints trace
+    # as i64, which Mosaic cannot legalize (the round-2 bench crash —
+    # "func.return ... (i64, i64, i32)"; a Python-int modulus likewise
+    # promotes `i % n_rot` to i64 and recurses Mosaic's convert lowering).
+    # The kernel must compile under x64 because the bench/parity configs
+    # enable it globally for the f64 measurements.
+    n_rot32 = jnp.int32(n_rot)
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(sweeps * n_rot),
+                      lambda i, carry: rotate(jax.lax.rem(i, n_rot32), carry),
+                      jnp.int32(0))
 
     a_fin = a_s[:]                               # [k, k, LANES]
     diag3 = (jax.lax.broadcasted_iota(jnp.int32, (k, k, LANES), 0)
@@ -235,7 +243,10 @@ def _parallel_jacobi_kernel(a_ref, lam_ref, v_ref, att_s, atb_s, abt_s,
         vt_s[:], vb_s[:] = n_vt, n_vb
         return carry
 
-    jax.lax.fori_loop(0, sweeps * (k - 1), round_fn, 0)
+    # int32 bounds/carry: Python ints trace as i64 under jax_enable_x64 and
+    # fail Mosaic legalization (the round-2 bench crash; see _jacobi_kernel).
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(sweeps * (k - 1)), round_fn,
+                      jnp.int32(0))
 
     lam_t = jnp.sum(jnp.where(diag_mask, att_s[:], 0.0), axis=1)  # [m, LANES]
     lam_b = jnp.sum(jnp.where(diag_mask, abb_s[:], 0.0), axis=1)
@@ -285,6 +296,11 @@ def jacobi_eigh(a, *, sweeps: int = 7, interpret: bool = False,
     at = jnp.transpose(a_in, (1, 2, 0))              # [k, k, b_pad]
 
     grid = (b_pad // LANES,)
+    # index_map zeros must be int32: under jax_enable_x64 a Python-int 0
+    # returned from a traced index_map becomes an i64 constant, and Mosaic
+    # fails to legalize the map's func.return (the round-2 bench crash:
+    # '"func.return"(%0, %0, %arg0) : (i64, i64, i32)').
+    z32 = np.int32(0)
     out_shape = [
         jax.ShapeDtypeStruct((k, b_pad), a.dtype),
         jax.ShapeDtypeStruct((k, k, b_pad), a.dtype),
@@ -295,10 +311,10 @@ def jacobi_eigh(a, *, sweeps: int = 7, interpret: bool = False,
         lam_t, v_t = pl.pallas_call(
             functools.partial(_parallel_jacobi_kernel, k=k, sweeps=sweeps),
             grid=grid,
-            in_specs=[pl.BlockSpec((k, k, LANES), lambda i: (0, 0, i))],
+            in_specs=[pl.BlockSpec((k, k, LANES), lambda i: (z32, z32, i))],
             out_specs=[
-                pl.BlockSpec((k, LANES), lambda i: (0, i)),
-                pl.BlockSpec((k, k, LANES), lambda i: (0, 0, i)),
+                pl.BlockSpec((k, LANES), lambda i: (z32, i)),
+                pl.BlockSpec((k, k, LANES), lambda i: (z32, z32, i)),
             ],
             scratch_shapes=[
                 pltpu.VMEM((m, m, LANES), a.dtype),
@@ -320,11 +336,11 @@ def jacobi_eigh(a, *, sweeps: int = 7, interpret: bool = False,
                 num_scalar_prefetch=1,
                 grid=grid,
                 in_specs=[
-                    pl.BlockSpec((k, k, LANES), lambda i, *_: (0, 0, i)),
+                    pl.BlockSpec((k, k, LANES), lambda i, *_: (z32, z32, i)),
                 ],
                 out_specs=[
-                    pl.BlockSpec((k, LANES), lambda i, *_: (0, i)),
-                    pl.BlockSpec((k, k, LANES), lambda i, *_: (0, 0, i)),
+                    pl.BlockSpec((k, LANES), lambda i, *_: (z32, i)),
+                    pl.BlockSpec((k, k, LANES), lambda i, *_: (z32, z32, i)),
                 ],
                 scratch_shapes=[
                     pltpu.VMEM((k, k, LANES), a.dtype),

@@ -103,7 +103,7 @@ def _use_ns(a_obs) -> bool:
 
 @jax.named_scope("ns_invsqrt")
 def ns_invsqrt(a_obs, inflat, *, tol: float = 1e-4, max_iters: int = 24,
-               mixed: bool = False):
+               mixed: bool = False, return_info: bool = False):
     """Batched ``Z ~= (a_obs + inflat*I)^(-1/2)`` by coupled Newton-Schulz.
 
     The LETKF solve never needs eigenpairs — only ``A^(-1) g`` and
@@ -127,7 +127,13 @@ def ns_invsqrt(a_obs, inflat, *, tol: float = 1e-4, max_iters: int = 24,
     Runs a ``lax.while_loop`` on ``max|ZY - I|`` (the residual is a free
     byproduct of T) with full-f32 MXU precision.
 
-    Returns ``z`` ``[B, k, k]`` symmetric.
+    Returns ``z`` ``[B, k, k]`` symmetric; with ``return_info=True`` returns
+    ``(z, iters, residual)`` — the executed matmul-pass count (for measured
+    rooflines instead of assumed ones) and the final ``max|ZY - I|``.  The
+    residual is the convergence certificate: if the ``max_iters`` budget ran
+    out before ``tol`` (condition numbers beyond what 24 steps cover), it
+    stays large and callers can warn or fall back instead of silently using
+    an inaccurate ``A^(-1/2)``.
     """
     k = a_obs.shape[-1]
     dt = a_obs.dtype
@@ -185,8 +191,14 @@ def ns_invsqrt(a_obs, inflat, *, tol: float = 1e-4, max_iters: int = 24,
         state = (state[0], state[1], jnp.asarray(jnp.inf, dt), state[3])
         # the HIGHEST phase always gets >= 6 steps even if phase 1
         # exhausted its budget without reaching the handoff threshold
-    y, z, _, _ = run(state, make_step(_HI), tol, max_iters)
-    return z / jnp.sqrt(c)[:, None, None]
+    y, z, err, iters = run(state, make_step(_HI), tol, max_iters)
+    z = z / jnp.sqrt(c)[:, None, None]
+    if return_info:
+        # err is max|Z_{i-1}Y_{i-1} - I| from the last executed step (the
+        # loop's stopping quantity); quadratic convergence means the actual
+        # final residual is smaller still — a conservative certificate.
+        return z, iters, err
+    return z
 
 
 @jax.named_scope("eigh")
@@ -362,11 +374,22 @@ def letkf_solve_from_normal(
     use_rtps: bool = False,
     rtps_alpha: float = 0.85,
     solver_dtype=jnp.float32,
+    return_diagnostics: bool = False,
 ):
-    """Like :func:`letkf_solve_batch` but from accumulated normal terms."""
+    """Like :func:`letkf_solve_batch` but from accumulated normal terms.
+
+    ``return_diagnostics=True`` also returns ``{"ns_residual": f32 scalar}``
+    — the Newton-Schulz convergence certificate (max ``|ZY - I|`` at loop
+    exit; 0.0 on the eigh paths, which have no data-dependent accuracy
+    cliff).  A residual above ``ns_invsqrt``'s tol means the iteration
+    budget ran out for some matrix in the batch: warn or rerun with the
+    float64 eigh backend instead of silently using an inaccurate solve.
+    """
     out_dtype = xb.dtype
+    resid = jnp.zeros((), jnp.float32)
     if _use_ns(jnp.asarray(a_obs).astype(solver_dtype)):
-        z = ns_invsqrt(a_obs.astype(solver_dtype), inflat)
+        z, _, resid = ns_invsqrt(a_obs.astype(solver_dtype), inflat,
+                                 return_info=True)
         xa = _apply_z(z, g, xb, solver_dtype=solver_dtype)
     else:
         lam, v, g = letkf_weight_factors_from_normal(
@@ -377,7 +400,10 @@ def letkf_solve_from_normal(
         xbp = xbp - jnp.mean(xbp, axis=-1, keepdims=True)
         xa = _relax(xa, xbp, use_rtpp, rtpp_alpha, use_rtps, rtps_alpha)
     xa = xa.astype(out_dtype)
-    return jnp.where(has_obs[:, None], xa, xb)
+    xa = jnp.where(has_obs[:, None], xa, xb)
+    if return_diagnostics:
+        return xa, {"ns_residual": resid.astype(jnp.float32)}
+    return xa
 
 
 def letkf_solve_group_from_normal(
@@ -390,6 +416,7 @@ def letkf_solve_group_from_normal(
     rtpp_alpha,
     rtps_alpha,
     solver_dtype=jnp.float32,
+    return_diagnostics: bool = False,
 ):
     """Fused multi-variable solve from one set of normal terms.
 
@@ -413,9 +440,12 @@ def letkf_solve_group_from_normal(
         (alpha=0 makes both RTPP and RTPS exact identities, so disabled
         variables need no separate code path).
 
-    Returns ``xa`` ``[B, V, k]`` in ``xb``'s dtype.
+    Returns ``xa`` ``[B, V, k]`` in ``xb``'s dtype; with
+    ``return_diagnostics=True`` also ``{"ns_residual": f32 scalar}`` (see
+    :func:`letkf_solve_from_normal`).
     """
     out_dtype = xb.dtype
+    resid = jnp.zeros((), jnp.float32)
     xb = xb.astype(solver_dtype)
     k = xb.shape[-1]
     a = a_obs.astype(solver_dtype)
@@ -436,7 +466,8 @@ def letkf_solve_group_from_normal(
             by_val.setdefault(float(val), []).append(vi)
         xa_cols = [None] * len(inflats)
         for val, vis in by_val.items():
-            z = ns_invsqrt(a, val)                           # [B, k, k]
+            z, _, r_val = ns_invsqrt(a, val, return_info=True)  # [B, k, k]
+            resid = jnp.maximum(resid, r_val.astype(jnp.float32))
             zg = jnp.einsum("bij,bj->bi", z, g, precision=_HI,
                             preferred_element_type=solver_dtype)
             xp = xb_prime[:, jnp.asarray(vis), :]            # [B, Vs, k]
@@ -473,7 +504,10 @@ def letkf_solve_group_from_normal(
     xa = xa_mean + xa_prime * factor
 
     xa = xa.astype(out_dtype)
-    return jnp.where(has_obs[:, None, None], xa, xb.astype(out_dtype))
+    xa = jnp.where(has_obs[:, None, None], xa, xb.astype(out_dtype))
+    if return_diagnostics:
+        return xa, {"ns_residual": resid}
+    return xa
 
 
 @jax.jit

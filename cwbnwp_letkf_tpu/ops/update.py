@@ -222,6 +222,7 @@ def plan_max_blocks(
     method: str = "auto",
     point_order: str = "auto",
     solver_dtype=jnp.float32,
+    n_shards: int = 1,
 ) -> dict:
     """Precompute per-platform bucketed block budgets for a jitted update.
 
@@ -232,9 +233,31 @@ def plan_max_blocks(
     whole update then traces into ONE program (the eager path dispatches
     dozens of small ops per call, which costs real wall time on remote
     backends).
+
+    ``n_shards``: plan for the SPMD path — ``parallel.update`` splits the
+    (padded) batch contiguously over the mesh and each device Hilbert-orders
+    and chunks its LOCAL shard independently, producing a different chunking
+    than the global order; budgets planned on the global chunking can
+    silently undersize a local chunk (dropping obs with only the overflow
+    counter to show for it).  Pass the mesh size to replicate the per-shard
+    chunking exactly and take the max over shards.
     """
     q = jnp.asarray(points_xyz)
     b = q.shape[0]
+    if n_shards > 1:
+        b_pad = -(-b // n_shards) * n_shards
+        # same padding parallel.update applies: copies of the last real
+        # point (spatially inert — inside the last shard's bbox)
+        q_all = jnp.broadcast_to(q[-1:], (b_pad, 3)).at[:b].set(q)
+        local = q_all.reshape(n_shards, b_pad // n_shards, 3)
+        merged: dict = {}
+        for si in range(n_shards):
+            one = plan_max_blocks(
+                local[si], platforms, ivar, chunk=chunk, method=method,
+                point_order=point_order, solver_dtype=solver_dtype)
+            for name, mb in one.items():
+                merged[name] = max(merged.get(name, 0), mb)
+        return merged
     active = [(dp, normalize_coords(dp.xyz, dp.static.hclr[ivar],
                                     dp.static.vclr[ivar]))
               for dp in platforms
@@ -312,7 +335,8 @@ def update_points(
                 dp.xyz, dp.static.hclr[ivar], dp.static.vclr[ivar])
             active.append((dp, on))
     if not active:
-        return (xb, {"bucket_overflow": jnp.zeros((), jnp.int32)}) \
+        return (xb, {"bucket_overflow": jnp.zeros((), jnp.int32),
+                     "ns_residual": jnp.zeros((), jnp.float32)}) \
             if return_diagnostics else xb
         # build_tree fails for every platform -> variable skipped
         # (letkf_core.f90:63-66)
@@ -339,14 +363,14 @@ def update_points(
         qc, xbc = args
         a_obs, g, cnt, ovf = _accumulate_chunk(
             qc, accs, ivar, weight_function, solver_dtype, chunk, k)
-        xa = letkf_solve_from_normal(
+        xa, sdiag = letkf_solve_from_normal(
             a_obs, g, xbc, inflat, cnt > 0,
             use_rtpp=use_rtpp, rtpp_alpha=rtpp_alpha,
             use_rtps=use_rtps, rtps_alpha=rtps_alpha,
-            solver_dtype=solver_dtype)
-        return xa, ovf
+            solver_dtype=solver_dtype, return_diagnostics=True)
+        return xa, ovf, sdiag["ns_residual"]
 
-    xa, ovf = jax.lax.map(
+    xa, ovf, resid = jax.lax.map(
         body,
         (q_p.reshape(n_chunks, chunk, 3), xb_p.reshape(n_chunks, chunk, k)),
     )
@@ -354,7 +378,8 @@ def update_points(
     if perm is not None:
         xa = xa[inv]
     if return_diagnostics:
-        return xa, {"bucket_overflow": jnp.sum(ovf)}
+        return xa, {"bucket_overflow": jnp.sum(ovf),
+                    "ns_residual": jnp.max(resid)}
     return xa
 
 
@@ -419,7 +444,8 @@ def update_points_group(
                 dp.xyz, dp.static.hclr[iv0], dp.static.vclr[iv0])
             active.append((dp, on))
     if not active:
-        return (xb, {"bucket_overflow": jnp.zeros((), jnp.int32)}) \
+        return (xb, {"bucket_overflow": jnp.zeros((), jnp.int32),
+                     "ns_residual": jnp.zeros((), jnp.float32)}) \
             if return_diagnostics else xb
 
     kinds = [_resolve_kind(method, dp) for dp, _ in active]
@@ -448,13 +474,13 @@ def update_points_group(
         qc, xbc = args
         a_obs, g, cnt, ovf = _accumulate_chunk(
             qc, accs, iv0, weight_function, solver_dtype, chunk, k)
-        xa = letkf_solve_group_from_normal(
+        xa, sdiag = letkf_solve_group_from_normal(
             a_obs, g, xbc, inflats, cnt > 0,
             rtpp_alpha=rtpp_alpha, rtps_alpha=rtps_alpha,
-            solver_dtype=solver_dtype)
-        return xa, ovf
+            solver_dtype=solver_dtype, return_diagnostics=True)
+        return xa, ovf, sdiag["ns_residual"]
 
-    xa, ovf = jax.lax.map(
+    xa, ovf, resid = jax.lax.map(
         body,
         (q_p.reshape(n_chunks, chunk, 3),
          xb_p.reshape(n_chunks, chunk, n_vars, k)),
@@ -463,5 +489,6 @@ def update_points_group(
     if perm is not None:
         xa = xa[inv]
     if return_diagnostics:
-        return xa, {"bucket_overflow": jnp.sum(ovf)}
+        return xa, {"bucket_overflow": jnp.sum(ovf),
+                    "ns_residual": jnp.max(resid)}
     return xa

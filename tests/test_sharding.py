@@ -66,6 +66,60 @@ def test_two_device_submesh():
                                rtol=3e-5, atol=3e-5)
 
 
+def test_sharded_bucketed_matches_single_device():
+    """The bucketed accumulation branch under shard_map (the production
+    radar path): per-SHARD planned budgets must keep overflow at 0 and the
+    result identical to the single-device bucketed update — each device
+    Hilbert-orders its local slice independently, so globally-planned
+    budgets would not be sound (ADVICE r2 high finding)."""
+    from cwbnwp_letkf_tpu.ops.update import plan_max_blocks, update_points_group
+    from cwbnwp_letkf_tpu.parallel.update import sharded_update_points_group
+
+    rng = np.random.default_rng(34)
+    st, po, pts, _ = _case(rng, nrec=3000, b=500)
+    dev = [prepare_platform(st, po)]
+    v = 2
+    xb = rng.normal(5, 2, (500, v, K)).astype(np.float32)
+    kw = dict(inflats=((K - 1) / 1.2, (K - 1) / 1.0),
+              weight_function=0, rtpp_alpha=(0.0, 0.8),
+              rtps_alpha=(0.9, 0.0), chunk=64, method="bucketed")
+
+    single, sdiag = update_points_group(
+        jnp.asarray(xb), jnp.asarray(pts), dev, (0, 1),
+        return_diagnostics=True, **kw)
+    assert int(sdiag["bucket_overflow"]) == 0
+
+    mesh = make_mesh()
+    budgets = plan_max_blocks(jnp.asarray(pts), dev, 0, chunk=64,
+                              method="bucketed", n_shards=8)
+    assert budgets, "bucketed platform must get a planned budget"
+    multi, mdiag = sharded_update_points_group(
+        mesh, jnp.asarray(xb), jnp.asarray(pts), dev, (0, 1),
+        max_blocks=budgets, return_diagnostics=True, **kw)
+    assert int(mdiag["bucket_overflow"]) == 0, (
+        "per-shard planned budgets must be overflow-free")
+    np.testing.assert_allclose(np.asarray(single), np.asarray(multi),
+                               rtol=3e-5, atol=3e-5)
+
+
+def test_shard_local_budget_exceeds_global_plan_when_needed():
+    """n_shards-aware planning can only grow budgets vs the global plan."""
+    from cwbnwp_letkf_tpu.ops.update import plan_max_blocks
+
+    rng = np.random.default_rng(35)
+    st, po, pts, _ = _case(rng, nrec=3000, b=333)
+    dev = [prepare_platform(st, po)]
+    g1 = plan_max_blocks(jnp.asarray(pts), dev, 0, chunk=64,
+                         method="bucketed")
+    g8 = plan_max_blocks(jnp.asarray(pts), dev, 0, chunk=64,
+                         method="bucketed", n_shards=8)
+    assert set(g1) == set(g8) == {"synop"}
+    # 333 points / 8 shards -> 42-point local chunks in 8 different Hilbert
+    # orders; the max over shards can exceed the single global chunking's
+    # need but never undershoot what any shard requires (it IS that max)
+    assert g8["synop"] >= 16
+
+
 def test_sharded_group_matches_single_device_group():
     from cwbnwp_letkf_tpu.ops.update import update_points_group
     from cwbnwp_letkf_tpu.parallel.update import sharded_update_points_group
