@@ -142,11 +142,13 @@ def bench_production(pts, xb, plats):
     """Production-grouped cycle: returns (var-point updates/s, detail)."""
     import jax
     import jax.numpy as jnp
-    from cwbnwp_letkf_tpu.ops.update import (plan_max_blocks,
+    from cwbnwp_letkf_tpu.ops.update import (DevicePlatform, plan_max_blocks,
                                              prepare_platform,
                                              update_points_group)
 
     dev = [prepare_platform(st, po) for st, po in plats]
+    statics = [dp.static for dp in dev]
+    arrays = [(dp.xyz, dp.stats) for dp in dev]
     xb_d = jnp.asarray(xb)
     pts_d = jnp.asarray(pts)
     b = pts.shape[0]
@@ -164,8 +166,9 @@ def bench_production(pts, xb, plats):
 
         # plan eagerly (the exact overflow-free bucketed block budgets need
         # concrete points), then trace the WHOLE group update into one
-        # program — the eager path dispatches dozens of small host->device
-        # ops per call, which costs ~1s/group through the remote tunnel
+        # program, with the obs arrays as jit ARGUMENTS — closures would
+        # bake them in as constants (100+ MB per radar platform) shipped
+        # through the remote-compile tunnel per trace
         if os.environ.get("CWBNWP_BENCH_NO_FETCH"):
             # tunnel-outage fallback: planning needs a d2h scalar fetch;
             # heuristic budgets apply instead (overflow diagnostics lost)
@@ -175,13 +178,15 @@ def bench_production(pts, xb, plats):
             budgets = plan_max_blocks(pts_d, dev, ivars[0], chunk=2048)
 
         @jax.jit
-        def group_fn(xb_a, pts_a, kw=kw, budgets=budgets, nv=nv):
+        def group_fn(xb_a, pts_a, arrays_a, kw=kw, budgets=budgets, nv=nv):
+            plats_a = [DevicePlatform(static=st, xyz=xyz, stats=stats)
+                       for st, (xyz, stats) in zip(statics, arrays_a)]
             xb_v = jnp.broadcast_to(xb_a[:, None, :], (b, nv, K))
-            return update_points_group(xb_v, pts_a, dev,
+            return update_points_group(xb_v, pts_a, plats_a,
                                        max_blocks=budgets, **kw)
 
         def dispatch(fn=group_fn):
-            return fn(xb_d, pts_d)
+            return fn(xb_d, pts_d, arrays)
 
         runs.append((name, nv, dispatch))
 
@@ -215,10 +220,13 @@ def bench_peak_fused(pts, xb, plats):
     """Round-1 continuity: 16 copies of one variable, 100% fused."""
     import jax
     import jax.numpy as jnp
-    from cwbnwp_letkf_tpu.ops.update import (prepare_platform,
+    from cwbnwp_letkf_tpu.ops.update import (DevicePlatform,
+                                             prepare_platform,
                                              update_points_group)
 
     dev = [prepare_platform(st, po) for st, po in plats[:2]]  # synop + vr
+    statics = [dp.static for dp in dev]
+    arrays = [(dp.xyz, dp.stats) for dp in dev]
     xb_d = jnp.asarray(xb)
     b = pts.shape[0]
     pts_d = jnp.asarray(pts)
@@ -231,9 +239,14 @@ def bench_peak_fused(pts, xb, plats):
         chunk=2048)
     xb_v = jnp.broadcast_to(xb_d[:, None, :], (b, N_VARS, K))
 
+    @jax.jit
+    def fused_fn(xb_a, pts_a, arrays_a):
+        plats_a = [DevicePlatform(static=st, xyz=xyz, stats=stats)
+                   for st, (xyz, stats) in zip(statics, arrays_a)]
+        return update_points_group(xb_a, pts_a, plats_a, **kw)
+
     def run():
-        xa = update_points_group(xb_v, pts_d, dev, **kw)
-        return _fetch(xa)
+        return _fetch(fused_fn(xb_v, pts_d, arrays))
 
     run()
     dt = _best_of(run)
@@ -381,6 +394,8 @@ def bench_radar_scale():
         name="dbz", kind=st0.kind, nvar=1, max_lz_pts=300,
         hclr=tuple(h), vclr=tuple(v), err_muti=st0.err_muti,
         err_rej=st0.err_rej, is_assim=st0.is_assim)
+    from cwbnwp_letkf_tpu.ops.update import DevicePlatform
+
     dev = prepare_platform(st, po)
     pts_d = jnp.asarray(pts)
     xb_d = jnp.asarray(xb)
@@ -388,14 +403,22 @@ def bench_radar_scale():
 
     budgets = plan_max_blocks(pts_d, [dev], 0, chunk=2048, method="bucketed")
 
-    fn = jax.jit(lambda x, q: update_points(
-        x, q, [dev], 0, inflat=(K - 1) / 1.1, weight_function=0,
-        chunk=2048, method="bucketed", max_blocks=budgets,
-        return_diagnostics=True))
-    xa, diag = fn(xb_d, pts_d)
+    # obs arrays go in as jit ARGUMENTS (the sharded production path's
+    # pattern, parallel/update.py): a closure would bake the ~1.3 GB of
+    # 200k-record tables into the program as constants, which must ship
+    # through the remote-compile tunnel — minutes of compile for nothing
+    def fn_(x, q, xyz, stats):
+        plat = DevicePlatform(static=st, xyz=xyz, stats=stats)
+        return update_points(
+            x, q, [plat], 0, inflat=(K - 1) / 1.1, weight_function=0,
+            chunk=2048, method="bucketed", max_blocks=budgets,
+            return_diagnostics=True)
+
+    fn = jax.jit(fn_)
+    xa, diag = fn(xb_d, pts_d, dev.xyz, dev.stats)
     _fetch(xa)
     t0 = time.time()
-    xa, diag = fn(xb_d, pts_d)
+    xa, diag = fn(xb_d, pts_d, dev.xyz, dev.stats)
     _fetch(xa)
     dt = time.time() - t0
     return {
@@ -553,7 +576,11 @@ def _read_partial(run_token: str):
     return result
 
 
-def _measure_with_retries(attempts=3, timeout_s=900.0):
+def _measure_with_retries(attempts=3, timeout_s=1800.0):
+    # 1800 s first attempt: a fully COLD run (empty .jax_cache) spends
+    # ~14 min in remote-tunnel compiles before the aux metrics even start
+    # (measured); warm runs finish in ~6 min.  Retries get 500 s — they
+    # start with warm caches.
     """Run the measurement in a child with a watchdog.
 
     The TPU tunnel intermittently wedges a process mid-transfer/compile

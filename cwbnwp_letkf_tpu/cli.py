@@ -39,6 +39,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="analysis points per device batch")
     p.add_argument("--no-mesh", action="store_true",
                    help="single-device update (skip sharding)")
+    p.add_argument("--stream", action="store_true",
+                   help="memory-bounded mode: hold one variable group in "
+                        "host RAM at a time (the reference's "
+                        "one-variable-resident pipeline, "
+                        "module_letkf_core.f90:59-297); fields stream from "
+                        "the prior files and analysis writes happen per "
+                        "group instead of all-at-once")
     p.add_argument("--quiet", action="store_true")
     p.add_argument("--metrics-json", default=None,
                    help="write run metrics as one JSON line to this path")
@@ -58,7 +65,8 @@ def main(argv=None) -> int:
     from .config import LetkfConfig
     from .driver import StageTimer, run_analysis
     from .metrics import RunMetrics
-    from .models.state import read_ensemble, write_ensemble, write_mean
+    from .models.state import (StreamingWrfEnsemble, read_ensemble,
+                               write_ensemble, write_mean)
     from .obs.gts import AltTable, parse_obs_gts, read_gts_ensemble
     from .obs.radar import PREFIX_TO_NAME, read_radar_ensemble
     from .projection import LambertProjection
@@ -75,7 +83,13 @@ def main(argv=None) -> int:
 
     timer.stamp("reading model data")
     wrf_paths = [member("wrfinput_nc", m) for m in range(k)]
-    ens = read_ensemble(wrf_paths, cfg)
+    out_paths = [os.path.join(args.output, f"wrfout_nc_{m+1:03d}")
+                 for m in range(k)]
+    if args.stream:
+        os.makedirs(args.output, exist_ok=True)
+        ens = StreamingWrfEnsemble(wrf_paths, cfg, out_paths)
+    else:
+        ens = read_ensemble(wrf_paths, cfg)
 
     timer.stamp("read obs data")
     obs_data: Dict[str, object] = {}
@@ -119,25 +133,31 @@ def main(argv=None) -> int:
     timer.stamp("finish letkf core")
 
     os.makedirs(args.output, exist_ok=True)
-    mean_thread = None
-    if cfg.write_analy_mean:
-        # overlap the mean write with the member writes — the reference runs
-        # them concurrently on disjoint ranks (cwb_letkf.f90:68-77: mean on
-        # rank nproc-1 while ranks 0..k-1 write members)
-        timer.stamp("write analysis mean (async)")
-        import threading
+    if args.stream:
+        # member analyses were written per group during the cycle; only the
+        # optional mean file remains (read back from the sinks, one field
+        # resident at a time)
+        if cfg.write_analy_mean:
+            timer.stamp("write analysis mean")
+            ens.write_mean(os.path.join(args.output, "wrfout_nc_mean"))
+    else:
+        mean_thread = None
+        if cfg.write_analy_mean:
+            # overlap the mean write with the member writes — the reference
+            # runs them concurrently on disjoint ranks (cwb_letkf.f90:68-77:
+            # mean on rank nproc-1 while ranks 0..k-1 write members)
+            timer.stamp("write analysis mean (async)")
+            import threading
 
-        mean_thread = threading.Thread(
-            target=write_mean,
-            args=(ens, os.path.join(args.output, "wrfout_nc_mean")))
-        mean_thread.start()
+            mean_thread = threading.Thread(
+                target=write_mean,
+                args=(ens, os.path.join(args.output, "wrfout_nc_mean")))
+            mean_thread.start()
 
-    timer.stamp("write analysis ensemble")
-    write_ensemble(
-        ens, [os.path.join(args.output, f"wrfout_nc_{m+1:03d}")
-              for m in range(k)])
-    if mean_thread is not None:
-        mean_thread.join()
+        timer.stamp("write analysis ensemble")
+        write_ensemble(ens, out_paths)
+        if mean_thread is not None:
+            mean_thread.join()
     timer.stamp("finish all steps")
     if args.metrics_json:
         with open(args.metrics_json, "w") as fh:

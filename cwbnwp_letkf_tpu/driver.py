@@ -130,6 +130,10 @@ def run_analysis(
 
     timer = timer or StageTimer(enabled=False)
     metrics = metrics if metrics is not None else RunMetrics()
+    if cfg.accum_precision != "high":
+        from .ops.dense import set_accum_precision
+
+        set_accum_precision(cfg.accum_precision)
     proj = LambertProjection.from_config(cfg.projection)
     platforms = prepare_platforms(cfg, obs_data)
     for dp in platforms:
@@ -144,6 +148,7 @@ def run_analysis(
     z_w = mean_geopotential_height(ens)
     pts_cache: Dict[Tuple[int, int], Tuple[np.ndarray, Tuple[int, int, int]]] = {}
     infl = cfg.inflation
+    n_shards = int(mesh.devices.size) if mesh is not None else 1
 
     def points_for(spec):
         key = (spec.hstag, spec.vstag)
@@ -152,27 +157,12 @@ def run_analysis(
                 ens, proj, spec.hstag, spec.vstag, z_w, quirk=quirk)
         return pts_cache[key]
 
-    def read_xb(spec, ux, uy, uz):
-        full = ens.field(spec.field)
-        if full.ndim == 3:  # MU: [nx, ny, k] -> one level
-            region = full[:ux, :uy, None, :]
-        else:
-            region = full[:ux, :uy, :uz, :]
-        return full, region.reshape(-1, ens.k)
-
-    def write_xa(spec, full, xa, ux, uy, uz):
-        xa_np = np.asarray(xa, dtype=full.dtype).reshape(ux, uy, uz, ens.k)
-        if full.ndim == 3:
-            full[:ux, :uy, :] = xa_np[:, :, 0, :]
-        else:
-            full[:ux, :uy, :uz, :] = xa_np
-
     if not fuse_variables:
         for key, members in _group_variables(cfg, platforms):
             for ivar, vname, spec in members:
                 timer.stamp(f"update {vname}")
                 pts, (ux, uy, uz) = points_for(spec)
-                full, xb = read_xb(spec, ux, uy, uz)
+                xb = ens.load_group([spec], ux, uy, uz)[:, 0, :]
                 kwargs = dict(
                     inflat=(ens.k - 1) / infl.multi_infl[ivar],
                     weight_function=cfg.weight_function,
@@ -189,8 +179,7 @@ def run_analysis(
                     # back to the heuristic and can silently drop obs
                     budgets = plan_max_blocks(
                         jnp.asarray(pts), platforms, ivar, chunk=chunk,
-                        solver_dtype=solver_dtype,
-                        n_shards=int(mesh.devices.size))
+                        solver_dtype=solver_dtype, n_shards=n_shards)
                     xa = sharded_update_points(
                         mesh, jnp.asarray(xb), jnp.asarray(pts), platforms,
                         ivar, max_blocks=budgets or None, **kwargs)
@@ -200,28 +189,26 @@ def run_analysis(
                         **kwargs)
                 if spec.tune_q:
                     xa = tune_q(xa)  # letkf_core.f90:252-278
-                write_xa(spec, full, xa, ux, uy, uz)
+                ens.store_group([spec], np.asarray(xa)[:, None, :],
+                                ux, uy, uz)
+        ens.finish()
         return ens
 
+    import jax
+
+    # ---- phase 0: plan every group up front ------------------------------
+    # Analysis points and exact bucketed block budgets involve device work
+    # with host round-trips; doing them inside the pipelined loop below
+    # would serialize against the in-flight group's compute.
+    plans = []
     for key, members in _group_variables(cfg, platforms):
-        names = "+".join(v for _, v, _ in members)
-        timer.stamp(f"update {names}")
-        t_grp = time.time()
         spec0 = members[0][2]
-        pts, (ux, uy, uz) = points_for(spec0)
-        # single host staging buffer + one transfer: filling [B, V, k] slice
-        # by slice avoids the per-variable host copy + device-side stack
-        # (round-1 did jnp.stack of V separate transfers, doubling host
-        # traffic per variable at production sizes)
-        b_pts = ux * uy * uz
-        fulls = []
-        xb_host = np.empty((b_pts, len(members), ens.k), np.float32)
-        for vi, (ivar, vname, spec) in enumerate(members):
-            full, xb = read_xb(spec, ux, uy, uz)
-            fulls.append(full)
-            xb_host[:, vi, :] = xb
-        xb_stack = jnp.asarray(xb_host)                              # [B,V,k]
+        pts, dims = points_for(spec0)
         ivars = tuple(iv for iv, _, _ in members)
+        pts_d = jnp.asarray(pts)
+        budgets = plan_max_blocks(pts_d, platforms, ivars[0], chunk=chunk,
+                                  solver_dtype=solver_dtype,
+                                  n_shards=n_shards)
         kwargs = dict(
             inflats=tuple((ens.k - 1) / infl.multi_infl[iv] for iv in ivars),
             weight_function=cfg.weight_function,
@@ -234,34 +221,66 @@ def run_analysis(
             solver_dtype=solver_dtype,
             chunk=chunk,
         )
-        # plan the exact bucketed block budgets eagerly — PER SHARD when a
-        # mesh is given, since each device chunks its local slice in its own
-        # Hilbert order — then run the whole group as ONE jitted program
-        # (eager dispatch of the few dozen host->device ops per group costs
-        # real wall time on remote backends; see ops/update.plan_max_blocks)
-        pts_d = jnp.asarray(pts)
-        n_shards = int(mesh.devices.size) if mesh is not None else 1
-        budgets = plan_max_blocks(pts_d, platforms, ivars[0], chunk=chunk,
-                                  solver_dtype=solver_dtype,
-                                  n_shards=n_shards)
+        plans.append(dict(members=members, pts_d=pts_d, dims=dims,
+                          ivars=ivars, budgets=budgets, kwargs=kwargs))
+    metrics.stage("plan_groups")
+
+    # ---- pipelined load -> compute -> store ------------------------------
+    # The reference's nonblocking obs broadcasts overlap comms with compute
+    # (issued cwb_letkf.f90:55-57, awaited letkf_core.f90:50); the analog
+    # here is a one-group-deep software pipeline: while the device runs
+    # group g, the host reads group g+1's fields (disk-bound in streaming
+    # mode) and enqueues their H2D transfer + compute behind g.  The
+    # blocking result fetch of g then runs concurrently with g+1's upload.
+    def launch(plan):
+        specs = [spec for _, _, spec in plan["members"]]
+        ux, uy, uz = plan["dims"]
+        t0 = time.time()
+        # single host staging buffer + one async transfer: filling [B, V, k]
+        # slice by slice avoids per-variable host copies + a device-side
+        # stack (round-1 did jnp.stack of V separate transfers)
+        xb_host = ens.load_group(specs, ux, uy, uz)
+        xb_stack = jax.device_put(xb_host)                       # [B, V, k]
+        load_s = time.time() - t0
         if mesh is not None:
             xa_stack, diag = sharded_update_points_group(
-                mesh, xb_stack, pts_d, platforms, ivars,
-                max_blocks=budgets or None, return_diagnostics=True,
-                **kwargs)
+                mesh, xb_stack, plan["pts_d"], platforms, plan["ivars"],
+                max_blocks=plan["budgets"] or None,
+                return_diagnostics=True, **plan["kwargs"])
         else:
-            import jax
+            # obs arrays as jit ARGUMENTS (the shard_map path's pattern):
+            # closing over the platforms would bake the obs tables into the
+            # program as constants — gigabytes at radar volume, shipped to
+            # the compiler per trace, and a forced recompile every cycle
+            # when the obs change.  The in-program table/bucket rebuild is
+            # one cheap pass per group call.
+            statics = [dp.static for dp in platforms]
 
-            fn = jax.jit(lambda xb_s, pts_s: update_points_group(
-                xb_s, pts_s, platforms, ivars,
-                max_blocks=budgets or None, return_diagnostics=True,
-                **kwargs))
-            xa_stack, diag = fn(xb_stack, pts_d)
+            def prog(xb_s, pts_s, arrays):
+                plats = [DevicePlatform(static=st, xyz=xyz, stats=stats)
+                         for st, (xyz, stats) in zip(statics, arrays)]
+                return update_points_group(
+                    xb_s, pts_s, plats, plan["ivars"],
+                    max_blocks=plan["budgets"] or None,
+                    return_diagnostics=True, **plan["kwargs"])
+
+            arrays = [(dp.xyz, dp.stats) for dp in platforms]
+            xa_stack, diag = jax.jit(prog)(xb_stack, plan["pts_d"], arrays)
+        return xa_stack, diag, load_s, time.time()
+
+    def drain(plan, launched):
+        xa_stack, diag, load_s, t_disp = launched
+        members = plan["members"]
+        names = "+".join(v for _, v, _ in members)
+        ux, uy, uz = plan["dims"]
+        specs = [spec for _, _, spec in members]
+        xa_np = np.empty((ux * uy * uz, len(specs), ens.k), np.float32)
         for vi, (ivar, vname, spec) in enumerate(members):
             xa = xa_stack[:, vi, :]
             if spec.tune_q:
                 xa = tune_q(xa)  # letkf_core.f90:252-278
-            write_xa(spec, fulls[vi], xa, ux, uy, uz)
+            xa_np[:, vi, :] = np.asarray(xa)
+        ens.store_group(specs, xa_np, ux, uy, uz)
         overflow = int(diag["bucket_overflow"])
         ns_resid = float(diag["ns_residual"])
         if overflow:
@@ -275,9 +294,24 @@ def run_analysis(
                 f"{overflow} candidate block(s); analysis is missing obs. "
                 "Size max_blocks via plan_max_blocks (n_shards=mesh size).",
                 RuntimeWarning, stacklevel=2)
-        metrics.add_group([v for _, v, _ in members], int(pts.shape[0]),
-                          time.time() - t_grp,
-                          bucket_overflow=overflow, ns_residual=ns_resid)
+        metrics.add_group([v for _, v, _ in members],
+                          int(plan["pts_d"].shape[0]),
+                          time.time() - t_disp + load_s,
+                          bucket_overflow=overflow, ns_residual=ns_resid,
+                          load_s=load_s)
+
+    inflight = None
+    for gi, plan in enumerate(plans):
+        timer.stamp("update " + "+".join(v for _, v, _ in plan["members"]))
+        if inflight is None:
+            inflight = launch(plan)
+            continue
+        nxt = launch(plan)       # host IO + H2D overlap previous compute
+        drain(plans[gi - 1], inflight)
+        inflight = nxt
+    if inflight is not None:
+        drain(plans[-1], inflight)
+    ens.finish()
 
     metrics.stage("update")
 
@@ -291,7 +325,7 @@ def run_analysis(
         if groups:
             ivar0, _, spec0 = groups[0][1][0]
             pts, (ux, uy, uz) = points_for(spec0)
-            _, xb = read_xb(spec0, ux, uy, uz)
+            xb = ens.load_group([spec0], ux, uy, uz)[:, 0, :]
             metrics.device_breakdown = _breakdown(
                 jnp.asarray(xb), jnp.asarray(pts), platforms, ivar0,
                 weight_function=cfg.weight_function,

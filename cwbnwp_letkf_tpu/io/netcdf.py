@@ -256,5 +256,61 @@ class NetcdfWriter:
         self.close()
 
 
+class NetcdfAppender:
+    """Rewrite variables of an EXISTING classic-NetCDF file in place.
+
+    The streaming pipeline (models/state.StreamingWrfEnsemble) pre-creates
+    each analysis file as a full copy of its prior member, then overwrites
+    one analysis variable at a time as each variable group completes — the
+    TPU analog of the reference's one-variable-resident scatter/update/
+    gather loop (module_letkf_core.f90:59-297): nothing larger than one
+    field is ever held per member.  Classic NetCDF has a fixed on-disk
+    layout, so an in-place variable rewrite touches exactly that variable's
+    bytes.
+    """
+
+    def __init__(self, path: str):
+        from scipy.io import netcdf_file
+
+        self.path = path
+        self._nc = netcdf_file(path, "a", mmap=False, maskandscale=False)
+
+    def write_variable(self, name: str, data_xyz: np.ndarray):
+        """Overwrite one variable given in (x, y, z) order (like
+        :meth:`NetcdfWriter.write_variable`)."""
+        var = self._nc.variables[name]
+        arr = np.asarray(data_xyz)
+        if arr.ndim > 1:
+            arr = arr.T  # back to (z, y, x)
+        if var.dimensions and var.dimensions[0] == "Time":
+            var[0] = arr.astype(var.data.dtype, copy=False)
+        else:
+            var[:] = arr.astype(var.data.dtype, copy=False)
+
+    def close(self):
+        self._nc.flush()
+        self._nc.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def clone_file(src_path: str, dst_path: str) -> None:
+    """Create ``dst`` as a full classic-NetCDF copy of ``src`` (header +
+    every variable) — the pre-created sink the streaming writer appends
+    into.  NC4/HDF5 sources are transparently converted to classic."""
+    if not _is_hdf5(src_path):
+        import shutil
+
+        shutil.copyfile(src_path, dst_path)
+        return
+    with NetcdfReader(src_path) as src, NetcdfWriter(dst_path) as dst:
+        dst.copy_header_from(src)
+        dst.write_others(src)
+
+
 def open_wrf(path: str) -> NetcdfReader:
     return NetcdfReader(path)

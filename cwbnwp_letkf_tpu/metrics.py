@@ -46,6 +46,9 @@ class GroupMetrics:
     #: Newton-Schulz convergence certificate: max |ZY - I| at loop exit
     #: (0.0 on eigh backends; > tol means the iteration budget ran out)
     ns_residual: float = 0.0
+    #: host field read + H2D staging wall (overlaps the previous group's
+    #: device compute in the driver's pipelined loop)
+    load_s: float = 0.0
 
 
 @dataclass
@@ -82,9 +85,11 @@ class RunMetrics:
         ))
 
     def add_group(self, variables: List[str], points: int, wall_s: float,
-                  bucket_overflow: int = 0, ns_residual: float = 0.0):
+                  bucket_overflow: int = 0, ns_residual: float = 0.0,
+                  load_s: float = 0.0):
         self.groups.append(GroupMetrics(variables, points, wall_s,
-                                        bucket_overflow, ns_residual))
+                                        bucket_overflow, ns_residual,
+                                        load_s))
 
     def record_mesh(self, mesh, n_points: int) -> None:
         """Record the device-mesh decomposition (rsl.out.0000 analog)."""
@@ -119,7 +124,8 @@ class RunMetrics:
                 {"variables": g.variables, "points": g.points,
                  "wall_s": round(g.wall_s, 4),
                  "bucket_overflow": g.bucket_overflow,
-                 "ns_residual": round(g.ns_residual, 8)}
+                 "ns_residual": round(g.ns_residual, 8),
+                 "load_s": round(g.load_s, 4)}
                 for g in self.groups
             ],
             "total_var_points": self.total_var_points,

@@ -144,6 +144,39 @@ class WrfEnsemble:
     def mean(self, key: str) -> np.ndarray:
         return self.fields[key].mean(axis=-1)
 
+    def mean_ph(self) -> np.ndarray:
+        """Ensemble-mean full geopotential [nx, ny, nz+1]."""
+        return self.fields["ph"].mean(axis=-1)
+
+    # -- group load/store (the driver's only state access) ------------------
+    def load_group(self, specs, ux: int, uy: int, uz: int) -> np.ndarray:
+        """Background for one variable group as one ``[B, V, k]`` staging
+        buffer (B = ux*uy*uz) — a single host array, one device transfer."""
+        xb = np.empty((ux * uy * uz, len(specs), self.k), np.float32)
+        for vi, spec in enumerate(specs):
+            full = self.fields[spec.field]
+            if full.ndim == 3:  # MU: [nx, ny, k] -> one level
+                region = full[:ux, :uy, None, :]
+            else:
+                region = full[:ux, :uy, :uz, :]
+            xb[:, vi, :] = region.reshape(-1, self.k)
+        return xb
+
+    def store_group(self, specs, xa: np.ndarray, ux: int, uy: int,
+                    uz: int) -> None:
+        """Write one group's analysis ``[B, V, k]`` back into the state."""
+        for vi, spec in enumerate(specs):
+            full = self.fields[spec.field]
+            a = xa[:, vi, :].reshape(ux, uy, uz, self.k).astype(
+                full.dtype, copy=False)
+            if full.ndim == 3:
+                full[:ux, :uy, :] = a[:, :, 0, :]
+            else:
+                full[:ux, :uy, :uz, :] = a
+
+    def finish(self) -> None:
+        """No-op (streaming variant flushes its sinks here)."""
+
 
 def _read_member(path: str, mp: MpScheme, hypsometric_opt: int,
                  want_rhoa: bool):
@@ -300,6 +333,184 @@ def write_ensemble(ens: WrfEnsemble, out_paths: Sequence[str], *,
 
     with cf.ThreadPoolExecutor(max_workers=max_workers) as ex:
         list(ex.map(write_one, range(ens.k)))
+
+
+#: base-state conversion on write for the full-field variables
+#: (grid.f90:521-523); everything else round-trips unchanged
+_BASE_OF = {"p": "pb", "ph": "phb", "mu": "mub"}
+#: hydrometeor fields clamped non-negative on read (grid.f90:362-365)
+_CLAMP = ("qr", "qs", "qg", "qh")
+
+
+class StreamingWrfEnsemble:
+    """One-group-resident ensemble: the reference's variable pipelining.
+
+    The reference deliberately holds ONE analysis variable in distributed
+    memory at a time — scatter, update, gather, looped over <= 16 variables
+    (module_letkf_core.f90:59-297, scatter at module_mpi_util.f90:190-267)
+    — bounding per-rank memory.  :func:`read_ensemble` instead loads the
+    whole ~20-field ensemble up front, which at production scale
+    (450x450x52 x 96 members) is > 80 GB of host RAM.
+
+    This class is the streaming counterpart, presenting the same
+    ``load_group`` / ``store_group`` interface the driver uses:
+
+    * __init__ reads ONLY geometry, the member-1 base states and the
+      ensemble-mean geopotential (accumulated one member at a time, never
+      holding more than one ``[nx, ny, nz+1]`` field per reader thread);
+    * each analysis output file is pre-created as a byte copy of its prior
+      member (untouched variables are thereby copied through, the
+      header-clone semantics of netcdf_io.f90:177-374);
+    * ``load_group`` reads exactly the group's variables, member by member,
+      straight into the ``[B, V, k]`` staging buffer;
+    * ``store_group`` overlays the analyzed region onto each member's prior
+      field (the U/V stagger sliver keeps its background,
+      letkf_core.f90:209-210), converts p/ph/mu back to perturbations and
+      rewrites that one variable in the member's sink file in place.
+
+    Peak host memory is therefore O(group staging + one field per reader
+    thread) instead of O(20 full ensemble fields); see
+    examples/memory_bench.py for measured RSS numbers.
+    """
+
+    def __init__(self, paths: Sequence[str], cfg: LetkfConfig,
+                 out_paths: Sequence[str], *, max_workers: int = 8):
+        from ..io.netcdf import clone_file
+
+        assert len(out_paths) == len(paths)
+        self.member_paths = tuple(paths)
+        self.out_paths = tuple(out_paths)
+        self.k = len(paths)
+        self.mp = MpScheme.from_option(cfg.wrf_mp_physics,
+                                       cfg.wrf_mp_hail_opt)
+        self._max_workers = max_workers
+
+        with NetcdfReader(paths[0]) as nc:
+            self.nx = nc.get_dimension("west_east")
+            self.ny = nc.get_dimension("south_north")
+            self.nz = nc.get_dimension("bottom_top")
+            for name, v in [("xlat", "XLAT"), ("xlon", "XLONG"),
+                            ("xlat_u", "XLAT_U"), ("xlon_u", "XLONG_U"),
+                            ("xlat_v", "XLAT_V"), ("xlon_v", "XLONG_V"),
+                            ("hgt", "HGT")]:
+                setattr(self, name, nc.get_variable(v))
+            self.pb = nc.get_variable("PB")
+            self.phb = nc.get_variable("PHB")
+            self.mub = nc.get_variable("MUB")
+
+        # mean full geopotential, one member resident at a time per thread
+        def ph_of(p):
+            with NetcdfReader(p) as nc:
+                return nc.get_variable("PH")
+
+        acc = np.zeros_like(self.phb, dtype=np.float64)
+        with cf.ThreadPoolExecutor(max_workers=max_workers) as ex:
+            for ph in ex.map(ph_of, paths):
+                acc += ph
+        self._mean_ph = (acc / self.k + self.phb).astype(np.float32)
+
+        # pre-create sinks: full prior copies, later overwritten in place.
+        # Hydrometeors are clamped non-negative IN the sink even when not
+        # analyzed — the reference clamps on read and writes the clamped
+        # array back whether or not the variable was updated
+        # (grid.f90:362-365 + write_model grid.f90:526-597), and the eager
+        # path inherits that; the byte-copy must match.
+        clamp_nc = [FIELD_TO_NC[f] for f in self.mp.field_names()
+                    if f in _CLAMP]
+
+        def make_sink(src, dst):
+            from ..io.netcdf import NetcdfAppender
+
+            clone_file(src, dst)
+            if not clamp_nc:
+                return
+            with NetcdfReader(dst) as r:
+                arrs = {n: r.get_variable(n) for n in clamp_nc}
+            with NetcdfAppender(dst) as w:
+                for n, arr in arrs.items():
+                    if (arr < 0).any():
+                        w.write_variable(n, np.clip(arr, 0.0, None))
+
+        with cf.ThreadPoolExecutor(max_workers=max_workers) as ex:
+            list(ex.map(lambda io: make_sink(*io), zip(paths, out_paths)))
+
+    def mean_ph(self) -> np.ndarray:
+        return self._mean_ph
+
+    def _region(self, arr, ux, uy, uz):
+        if arr.ndim == 2:  # MU
+            return arr[:ux, :uy, None]
+        return arr[:ux, :uy, :uz]
+
+    def _read_full(self, nc: NetcdfReader, key: str) -> np.ndarray:
+        arr = nc.get_variable(FIELD_TO_NC[key])
+        base = _BASE_OF.get(key)
+        if base is not None:
+            arr = arr + getattr(self, base)
+        if key in _CLAMP:
+            np.clip(arr, 0.0, None, out=arr)
+        return arr
+
+    def load_group(self, specs, ux: int, uy: int, uz: int) -> np.ndarray:
+        xb = np.empty((ux * uy * uz, len(specs), self.k), np.float32)
+
+        def read_member(m):
+            with NetcdfReader(self.member_paths[m]) as nc:
+                for vi, spec in enumerate(specs):
+                    arr = self._read_full(nc, spec.field)
+                    xb[:, vi, m] = self._region(arr, ux, uy, uz).ravel()
+
+        with cf.ThreadPoolExecutor(max_workers=self._max_workers) as ex:
+            list(ex.map(read_member, range(self.k)))
+        return xb
+
+    def store_group(self, specs, xa: np.ndarray, ux: int, uy: int,
+                    uz: int) -> None:
+        from ..io.netcdf import NetcdfAppender
+
+        def write_member(m):
+            with NetcdfReader(self.member_paths[m]) as src, \
+                    NetcdfAppender(self.out_paths[m]) as dst:
+                for vi, spec in enumerate(specs):
+                    full = self._read_full(src, spec.field)
+                    a = xa[:, vi, m].reshape(ux, uy, uz)
+                    region = self._region(full, ux, uy, uz)
+                    region[...] = a.astype(full.dtype, copy=False)
+                    base = _BASE_OF.get(spec.field)
+                    if base is not None:
+                        full = full - getattr(self, base)
+                    dst.write_variable(FIELD_TO_NC[spec.field], full)
+
+        with cf.ThreadPoolExecutor(max_workers=self._max_workers) as ex:
+            list(ex.map(write_member, range(self.k)))
+
+    def finish(self) -> None:
+        """Sinks are flushed per store; nothing to do."""
+
+    def write_mean(self, out_path: str) -> None:
+        """Analysis-mean file from the sink files, one field at a time.
+
+        The sinks already store perturbation p/ph/mu, so averaging their
+        stored values directly equals write_mean's full-mean-minus-base
+        (grid.f90:827-846); untouched variables come from the member-1
+        header clone.
+        """
+        from ..io.netcdf import NetcdfWriter
+
+        names = [FIELD_TO_NC[key] for key in _ANALYSIS_FIELDS + ["psfc"]]
+        with NetcdfReader(self.out_paths[0]) as src:
+            present = [n for n in names if n in src.variable_names()]
+        with NetcdfReader(self.out_paths[0]) as src, \
+                NetcdfWriter(out_path) as dst:
+            dst.copy_header_from(src)
+            for name in present:
+                acc = None
+                for p in self.out_paths:
+                    with NetcdfReader(p) as nc:
+                        arr = nc.get_variable(name)
+                    acc = arr.astype(np.float64) if acc is None else acc + arr
+                dst.write_variable(name, (acc / self.k).astype(np.float32))
+            dst.write_others(src)
 
 
 def write_mean(ens: WrfEnsemble, out_path: str) -> None:

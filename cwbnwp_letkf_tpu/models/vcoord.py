@@ -24,8 +24,13 @@ from .state import WrfEnsemble
 
 
 def mean_geopotential_height(ens: WrfEnsemble) -> np.ndarray:
-    """Ensemble-mean z at w-levels: mean(ph_full)/g  [nx, ny, nz+1]."""
-    return (ens.fields["ph"].mean(axis=-1) / GRAVITY).astype(np.float32)
+    """Ensemble-mean z at w-levels: mean(ph_full)/g  [nx, ny, nz+1].
+
+    Works for both the eager :class:`~cwbnwp_letkf_tpu.models.state
+    .WrfEnsemble` and the streaming variant (whose mean was accumulated one
+    member at a time at open, never holding the full [.., k] field).
+    """
+    return (ens.mean_ph() / GRAVITY).astype(np.float32)
 
 
 def mass_level_height(z_w: np.ndarray) -> np.ndarray:

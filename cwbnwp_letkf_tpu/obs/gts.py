@@ -292,9 +292,13 @@ def parse_obs_gts(path: str, *, on_unknown_fm: str = "raise") -> AltTable:
 
     ``on_unknown_fm``: "raise" (default) mirrors the reference, which falls
     out of its select-case and dies on the next misaligned read
-    (``stop "Problem"``, gts_omboma.f90:777-778); "skip" drops the report's
-    lines instead (its level count is known, so skipping is well-defined —
-    an explicit opt-out, never silent).
+    (``stop "Problem"``, gts_omboma.f90:777-778); "skip" drops the report by
+    scanning forward to the next line that matches an FM-xx INFO header —
+    an unknown FM's own line count is NOT knowable from nlev (header-
+    altitude layouts like GPSPW write no EACH lines at all), so resyncing
+    on the INFO pattern is the only skip that cannot desynchronize the
+    cursor.  Data lines are purely numeric per the file's own formats and
+    can never match the pattern.
     """
     if on_unknown_fm not in ("raise", "skip"):
         raise ValueError("on_unknown_fm must be 'raise' or 'skip'")
@@ -358,7 +362,13 @@ def parse_obs_gts(path: str, *, on_unknown_fm: str = "raise") -> AltTable:
                     "select-case has no branch for it and aborts on the "
                     "next read, gts_omboma.f90:777-778); pass "
                     "on_unknown_fm='skip' to drop such reports")
-            i += 1 + max(nlev, 1)  # SRFC + level lines
+            # resync on the next INFO line: nlev does NOT give this
+            # report's line count (header-altitude platforms write SRFC
+            # only, no EACH lines), so a count-based skip could
+            # desynchronize every report after it
+            while i < len(lines) and not re.match(r"\s*FM-?\s*\d+",
+                                                  lines[i]):
+                i += 1
             continue
         platform, single, alt_from_header = entry
         i += 1  # skip the SRFC line (gts_omboma.f90:798 etc.)

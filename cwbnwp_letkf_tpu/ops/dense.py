@@ -45,6 +45,30 @@ from .whiten import ObsStats
 
 _HI = jax.lax.Precision.HIGHEST
 
+#: float32 accumulation-matmul precision (the [C, R] @ [R, k*(k+1)] normal-
+#: term contraction).  HIGH (bf16_3x) is the measured default — f32-grade
+#: significand at 1.6x HIGHEST's throughput, ~1.4e-5 relative difference —
+#: but parity-sensitive runs can restore HIGHEST without paying f64
+#: emulation (config.accum_precision / :func:`set_accum_precision`).
+_ACC_PREC_F32 = jax.lax.Precision.HIGH
+
+
+def set_accum_precision(name: str) -> None:
+    """Select the f32 normal-term accumulation precision.
+
+    ``"high"`` (default, bf16_3x) or ``"highest"`` (full f32).  float64
+    solver runs always use HIGHEST regardless.  Clears jit caches so traced
+    updates pick up the switch.
+    """
+    global _ACC_PREC_F32
+    table = {"high": jax.lax.Precision.HIGH,
+             "highest": jax.lax.Precision.HIGHEST}
+    if name not in table:
+        raise ValueError(f"accum_precision must be one of {sorted(table)}, "
+                         f"got {name!r}")
+    _ACC_PREC_F32 = table[name]
+    jax.clear_caches()
+
 
 class DenseTables(NamedTuple):
     """Per-obs-record tables for one (platform, variable group).
@@ -188,9 +212,10 @@ def terms_from_r2(
 
     # bf16_3x carries an f32-grade significand: measured 1.4e-5 relative vs
     # HIGHEST on this matmul at 1.6x the throughput (v5e); float64 parity
-    # runs keep full precision.  The count matmul below stays HIGHEST — its
-    # result is truncated to int, so even 1-ulp-low sums would be wrong.
-    acc_prec = (jax.lax.Precision.HIGH
+    # runs keep full precision, and set_accum_precision("highest") restores
+    # it for f32 too.  The count matmul below stays HIGHEST — its result is
+    # truncated to int, so even 1-ulp-low sums would be wrong.
+    acc_prec = (_ACC_PREC_F32
                 if jnp.dtype(solver_dtype) == jnp.float32 else _HI)
     out = jnp.dot(gm, fused.astype(solver_dtype),
                   precision=acc_prec, preferred_element_type=solver_dtype)

@@ -147,7 +147,13 @@ def ns_invsqrt(a_obs, inflat, *, tol: float = 1e-4, max_iters: int = 24,
     c = jnp.max(jnp.sum(jnp.abs(a), axis=-1), axis=-1) / 1.9    # [B]
     c = jnp.maximum(c, jnp.finfo(dt).tiny)
     y = a / c[:, None, None]
-    z = jnp.broadcast_to(eye, a.shape)
+    # z/err must DERIVE from the input (zeros_like, not a broadcast
+    # constant): under shard_map the while_loop outputs are varying over
+    # the mesh axis, and an unvarying initial carry fails the
+    # varying-manual-axes check at trace time — which would crash every
+    # sharded NS solve on a real mesh (CPU tests take the eigh path and
+    # structurally cannot see it).
+    z = jnp.zeros_like(a) + eye
 
     def make_step(precision):
         def mm(p, q):
@@ -175,7 +181,8 @@ def ns_invsqrt(a_obs, inflat, *, tol: float = 1e-4, max_iters: int = 24,
 
         return jax.lax.while_loop(cond, step, state)
 
-    state = (y, z, jnp.asarray(jnp.inf, dt), jnp.asarray(0))
+    err0 = jnp.asarray(jnp.inf, dt) + 0.0 * jnp.max(c)  # varying like c
+    state = (y, z, err0, jnp.asarray(0))
     if mixed and dt == jnp.float32:
         # Mixed precision (OFF by default — measured on v5e at
         # [4096,40,40]: no speedup, the batched 40x40 matmuls are
@@ -188,7 +195,10 @@ def ns_invsqrt(a_obs, inflat, *, tol: float = 1e-4, max_iters: int = 24,
         # escapes (0,3).
         state = run(state, make_step(jax.lax.Precision.HIGH),
                     jnp.asarray(0.08, dt), max_iters - 6)
-        state = (state[0], state[1], jnp.asarray(jnp.inf, dt), state[3])
+        # derive the reset from the running residual (finite here) so the
+        # carry stays varying under shard_map — see the z/err0 note above
+        state = (state[0], state[1],
+                 jnp.asarray(jnp.inf, dt) + 0.0 * state[2], state[3])
         # the HIGHEST phase always gets >= 6 steps even if phase 1
         # exhausted its budget without reaching the handoff threshold
     y, z, err, iters = run(state, make_step(_HI), tol, max_iters)

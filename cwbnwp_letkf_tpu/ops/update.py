@@ -20,8 +20,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..obs.base import PlatformObs, PlatformStatic
-from .bucketed import (bucket_platform, bucketed_platform_terms,
-                       default_max_blocks, hilbert3, required_max_blocks)
+from .bucketed import (auto_block_size, bucket_platform,
+                       bucketed_platform_terms, default_max_blocks, hilbert3,
+                       required_max_blocks)
 from .dense import dense_platform_terms, platform_dense_tables
 from .neighbors import normalize_coords, radius_neighbors
 from .solver import letkf_solve_from_normal, letkf_solve_group_from_normal
@@ -46,6 +47,21 @@ ACCUMULATE_METHODS = ("dense", "gather", "bucketed", "auto")
 #: dense path's per-chunk cost grows linearly in R, bucketed's with local
 #: obs density only).
 BUCKET_MIN_RECORDS = 8192
+
+
+class BucketBudget(NamedTuple):
+    """A planned bucketed-culling budget: valid ONLY for its block size.
+
+    ``plan_max_blocks`` sizes blocks adaptively from the eager obs density
+    (ops/bucketed.auto_block_size); a traced rebuild (inside jit/shard_map,
+    where the density is unknowable) would otherwise pick the fixed
+    fallback size, silently changing the blocking the budget was computed
+    for — the budget therefore carries its block size and the rebuild uses
+    it verbatim.
+    """
+
+    block_size: int
+    max_blocks: int
 
 
 class DevicePlatform(NamedTuple):
@@ -130,16 +146,29 @@ def _platform_accumulators(active, kinds, iv, max_blocks, solver_dtype,
             if storable:
                 cache[dkey] = tab
         if kind == "bucketed":
-            bkey = ("bucketed", mask, jnp.dtype(solver_dtype).name,
-                    st.hclr[iv], st.vclr[iv])
-            bp = cache.get(bkey) if cache is not None else None
-            if bp is None:
-                bp = bucket_platform(on, tab)
-                if storable:
-                    cache[bkey] = bp
             mb_req = (max_blocks.get(st.name)
                       if isinstance(max_blocks, dict) else max_blocks)
-            if mb_req:
+            # resolve the block size BEFORE the cache key so the eager plan
+            # and a later budget-following jitted rebuild share one entry
+            # (auto_block_size returns the same adaptive size eagerly that
+            # the plan baked into the budget; under a trace the budget
+            # supplies it)
+            if isinstance(mb_req, BucketBudget):
+                bs = mb_req.block_size
+            else:
+                bs = auto_block_size(on)
+            bkey = ("bucketed", mask, jnp.dtype(solver_dtype).name,
+                    st.hclr[iv], st.vclr[iv], bs)
+            bp = cache.get(bkey) if cache is not None else None
+            if bp is None:
+                bp = bucket_platform(on, tab, block_size=bs)
+                if storable:
+                    cache[bkey] = bp
+            if isinstance(mb_req, BucketBudget):
+                # planned for exactly this blocking (block_size matches by
+                # construction above); n_blocks caps it for tiny platforms
+                mb = min(mb_req.max_blocks, bp.n_blocks)
+            elif mb_req:
                 mb = mb_req
             elif concrete:
                 flat = q_chunks.reshape(-1, 3)
@@ -255,8 +284,12 @@ def plan_max_blocks(
             one = plan_max_blocks(
                 local[si], platforms, ivar, chunk=chunk, method=method,
                 point_order=point_order, solver_dtype=solver_dtype)
-            for name, mb in one.items():
-                merged[name] = max(merged.get(name, 0), mb)
+            for name, bb in one.items():
+                prev = merged.get(name)
+                # block_size is identical across shards (obs replicated);
+                # the merged budget is the worst shard's need
+                merged[name] = bb if prev is None else BucketBudget(
+                    bb.block_size, max(prev.max_blocks, bb.max_blocks))
         return merged
     active = [(dp, normalize_coords(dp.xyz, dp.static.hclr[ivar],
                                     dp.static.vclr[ivar]))
@@ -273,7 +306,10 @@ def plan_max_blocks(
     accs = _platform_accumulators(
         active, kinds, ivar, None, solver_dtype,
         q_chunks=q_p.reshape(n_chunks, chunk, 3))
-    return {dp.static.name: payload[1]
+    # the budget is only meaningful for the blocking it was computed on, so
+    # it carries the (eagerly, density-adaptively chosen) block size; a
+    # traced rebuild inside jit/shard_map re-buckets with exactly that size
+    return {dp.static.name: BucketBudget(payload[0].block_size, payload[1])
             for dp, _, kind, payload in accs if kind == "bucketed"}
 
 

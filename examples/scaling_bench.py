@@ -39,6 +39,13 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    if args.mock:
+        # sitecustomize imports jax at interpreter start, so the
+        # JAX_PLATFORMS env var is already consumed — the config update is
+        # the only reliable way to force the virtual-CPU mesh here
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
 
     from cwbnwp_letkf_tpu.obs.synthetic import (correlated_ensemble,

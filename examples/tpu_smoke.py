@@ -128,6 +128,25 @@ def main():
     print(f"[smoke] bucketed group update: budgets={budgets} overflow=0 "
           f"mean|xa-xb|={moved:.3f} ({time.time() - t0:.1f} s)", flush=True)
 
+    # shard_map leg on the real chip (1-device mesh): the manual-axes
+    # tracing rules differ from plain jit — round-3 found the NS
+    # while_loop's unvarying carry crashing ONLY here (varying-manual-axes
+    # check), a class invisible to both plain-jit TPU runs and CPU tests.
+    t0 = time.time()
+    from cwbnwp_letkf_tpu.parallel import make_mesh
+    from cwbnwp_letkf_tpu.parallel.update import sharded_update_points_group
+
+    mesh = make_mesh(jax.devices()[:1])
+    xa_s, diag_s = sharded_update_points_group(
+        mesh, xb_v, pts_d, [dev], (0, 0),
+        inflats=((k - 1) / 1.1, (k - 1) / 1.6), weight_function=0,
+        rtpp_alpha=(0.95, 0.0), rtps_alpha=(0.0, 0.95), chunk=1024,
+        max_blocks=budgets, return_diagnostics=True)
+    assert np.isfinite(np.asarray(xa_s)).all()
+    assert int(diag_s["bucket_overflow"]) == 0
+    print(f"[smoke] shard_map group update ok ({time.time() - t0:.1f} s)",
+          flush=True)
+
     # float64 group solve (XLA eigh; TPU f64 is emulated) — the parity path.
     t0 = time.time()
     from cwbnwp_letkf_tpu.ops.solver import letkf_solve_group_from_normal

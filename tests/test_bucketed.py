@@ -151,7 +151,8 @@ def test_plan_then_jit_matches_eager():
 
     xa_eager = np.asarray(update_points(xb, q, [dp], 0, **kw))
     budgets = plan_max_blocks(q, [dp], 0, chunk=256)
-    assert budgets and all(v > 0 for v in budgets.values())
+    assert budgets and all(v.max_blocks > 0 and v.block_size > 0
+                           for v in budgets.values())
     fn = jax.jit(lambda xb_, q_: update_points(xb_, q_, [dp], 0,
                                                max_blocks=budgets, **kw))
     np.testing.assert_array_equal(np.asarray(fn(xb, q)), xa_eager)

@@ -138,6 +138,29 @@ def test_parse_obs_gts_unknown_fm(tmp_path):
     assert table.get(GtsType.SYNOP, "46700", 1) == pytest.approx(7.0)
 
 
+def test_parse_obs_gts_unknown_fm_header_altitude_layout(tmp_path):
+    """An unknown FM with a GPSPW-like layout (INFO + SRFC, NO EACH lines
+    despite nlev > 0) must not desynchronize the cursor: the skip resyncs
+    on the next INFO line instead of trusting nlev (ADVICE r2 low #4 —
+    a count-based skip would misparse every following report)."""
+    fix = tmp_path / "obs_gts"
+    lines = [HEADER.rstrip("\n"),
+             # unknown FM, claims 3 levels but writes only INFO + SRFC
+             _info("FM-99 ODDPW", "2018-06-27_12:00:00", "MYSTERY", 3,
+                   25.0, 121.0, 88.0, "ZZ9"),
+             _srfc(pw=31.2),
+             _info("FM-12 SYNOP", "2018-06-27_12:00:00", "SURFACE", 1,
+                   25.0, 121.0, 7.0, "46700"),
+             _srfc(), _each(7.0),
+             _info("FM-35 TEMP", "2018-06-27_12:00:00", "SOUNDING", 2,
+                   25.0, 121.0, 5.0, "46701"),
+             _srfc(), _each(10.0), _each(1500.0)]
+    fix.write_text("\n".join(lines) + "\n")
+    table = parse_obs_gts(str(fix), on_unknown_fm="skip")
+    assert table.get(GtsType.SYNOP, "46700", 1) == pytest.approx(7.0)
+    assert table.get(GtsType.SOUND, "46701", 2) == pytest.approx(1500.0)
+
+
 def _member_files(tmp_path, ids, levels, k=3):
     """Synop member files whose station ids reference the alt fixture."""
     paths = []

@@ -102,6 +102,30 @@ def test_sharded_bucketed_matches_single_device():
                                rtol=3e-5, atol=3e-5)
 
 
+def test_ns_solver_under_shard_map():
+    """The Newton-Schulz solve must trace inside shard_map: its while_loop
+    carries must be varying over the mesh axis (an unvarying initial z/err
+    fails the varying-manual-axes check — a TPU-only production crash,
+    since CPU 'auto' takes the eigh path and never sees it)."""
+    from cwbnwp_letkf_tpu.ops.solver import set_eigh_backend
+
+    rng = np.random.default_rng(36)
+    st, po, pts, xb = _case(rng, b=64)
+    dev = [prepare_platform(st, po)]
+    kw = dict(inflat=(K - 1) / 1.2, weight_function=0, chunk=16)
+    set_eigh_backend("ns")
+    try:
+        single = update_points(jnp.asarray(xb), jnp.asarray(pts), dev, 0,
+                               **kw)
+        mesh = make_mesh()
+        multi = sharded_update_points(mesh, jnp.asarray(xb),
+                                      jnp.asarray(pts), dev, 0, **kw)
+    finally:
+        set_eigh_backend("auto")
+    np.testing.assert_allclose(np.asarray(single), np.asarray(multi),
+                               rtol=3e-5, atol=3e-5)
+
+
 def test_shard_local_budget_exceeds_global_plan_when_needed():
     """n_shards-aware planning can only grow budgets vs the global plan."""
     from cwbnwp_letkf_tpu.ops.update import plan_max_blocks
@@ -114,10 +138,11 @@ def test_shard_local_budget_exceeds_global_plan_when_needed():
     g8 = plan_max_blocks(jnp.asarray(pts), dev, 0, chunk=64,
                          method="bucketed", n_shards=8)
     assert set(g1) == set(g8) == {"synop"}
+    assert g1["synop"].block_size == g8["synop"].block_size
     # 333 points / 8 shards -> 42-point local chunks in 8 different Hilbert
     # orders; the max over shards can exceed the single global chunking's
     # need but never undershoot what any shard requires (it IS that max)
-    assert g8["synop"] >= 16
+    assert g8["synop"].max_blocks >= 16
 
 
 def test_sharded_group_matches_single_device_group():
