@@ -1,0 +1,275 @@
+"""Pallas TPU kernel: batched Newton-Schulz inverse square root.
+
+The production LETKF cycle is SOLVE-bound (measured round 4: per variable
+group, accumulation 0.37 s vs solve 0.84 s at 327,680 points), and the solve
+is ``ns_invsqrt`` (ops/solver.py) — batched ``[B, k, k]`` matmuls with
+k = ensemble size = 40.  On the 128x128 MXU a 40x40x40 matmul pads its
+contraction and lane dimensions to 128, capping utilization at
+(40/128)^2 ~ 9.8%; XLA's batched-gemm lowering achieves 4.3% measured
+(BENCH_r03.json), i.e. the solve runs at ~1/20 of the chip's matmul rate.
+
+This kernel restructures the iteration around two facts:
+
+1. **Every iterate is a polynomial in A.**  The coupled iteration
+   (Higham alg. 6.21; see ops/solver.ns_invsqrt) tracks ``Y -> sqrt(A_c)``
+   and ``Z -> A_c^(-1/2)``; all of ``Y, Z, T, W = ZY`` commute and are
+   symmetric.  Tracking ``W`` and ``Z`` directly gives a step whose every
+   product has the SAME left operand ``T = (3I - W)/2``:
+
+       W_0 = A_c,   Z_0 = I
+       T   = (3I - W) / 2
+       Z' <- T Z
+       W' <- T (T W)          (= T W T by commutation = Z'Y')
+
+   (The matrix multiplied from the left is always T, which is what makes
+   the element packing below possible.)
+
+2. **Row-of-blocks x block-diagonal packing fills the MXU.**  With
+   m = 128 // k elements per pack (m=3 at k=40), the LHS
+   ``[T_1 T_2 ... T_m]`` is a dense ``[k, m*k]`` row of blocks and the RHS
+   ``blkdiag(X_1, ..., X_m)`` is ``[m*k, m*k]``; their product's column
+   block e is exactly ``T_e X_e``.  The matmul's padded cost is
+   ``k * 128 * pad(m*k)`` for ``m`` products' useful work — utilization
+   rises to ``m * k^2 * k / (k * 128 * 128) = m * (k/128)^2`` ~ 29% at
+   k=40, a 3x higher ceiling than per-element batching, with the M
+   dimension (unpadded sublanes) carrying the k output rows.
+
+   Both RHS uses per step (the ``W`` and ``Z`` block-diagonals) share the
+   left operand, so round A packs them side by side in one
+   ``[k, m*k] @ [m*k, 256]`` matmul; round B is ``[k, m*k] @ [m*k, m*k]``.
+
+The whole iteration runs in VMEM (one HBM read of A, one write of Z per
+element); a block-level ``while_loop`` reproduces ops/solver.ns_invsqrt's
+tolerance semantics (stop when ``max|W - I| <= tol`` over the block, cap at
+``max_iters``), and the final per-block residual is returned as the same
+convergence certificate the XLA path emits.
+
+Replaces the reference's per-gridpoint LAPACK ``dsyevd``
+(/root/reference/module_eigen.f90:37-108, called from
+module_letkf_core.f90:655-668) on the TPU fast path; the XLA
+Newton-Schulz/eigh paths remain as fallbacks (k > 64, float64, CPU).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_HI = jax.lax.Precision.HIGHEST
+
+#: lane width of the TPU vector unit / MXU.
+_LANES = 128
+
+
+def pack_width(k: int) -> int:
+    """Elements per row-of-blocks pack: how many k-blocks fit in 128 lanes."""
+    return max(1, _LANES // k)
+
+
+def supports(k: int) -> bool:
+    """The packed kernel needs >= 2 elements per pack to beat XLA."""
+    return pack_width(k) >= 2 and k % 8 == 0
+
+
+def _ns_kernel(a_ref, z_ref, err_ref, w_s, z_s, blk_ab, blk_b, c_s,
+               *, k: int, m: int, n_packs: int, inflat: float, tol: float,
+               max_iters: int):
+    """One grid block: G = m * n_packs matrices held and iterated in VMEM.
+
+    Refs:
+      a_ref:   [G, k, k] input a_obs block (A = a_obs + inflat*I).
+      z_ref:   [G, k, k] output Z ~= A^(-1/2).
+      err_ref: [8, 128] final block residual max|W - I| (broadcast to the
+               minimum legal tile; all entries equal).
+      w_s:     [n_packs*k, m*k] W state, pack p at rows [p*k, (p+1)*k),
+               element e of the pack at columns [e*k, (e+1)*k).
+      z_s:     same layout for Z.
+      blk_ab:  [m*k, 256] RHS scratch: blkdiag(W_e) at columns [0, m*k),
+               blkdiag(Z_e) at columns [128, 128+m*k).
+      blk_b:   [m*k, m*k] RHS scratch for round B (blkdiag of T W products).
+      c_s:     [n_packs, m] SMEM per-element Gershgorin scales.
+    """
+    s = m * k
+    dt = w_s.dtype
+    eye = (jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
+           == jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)).astype(dt)
+    # [I I ... I]: identity of each element's column block.  All index math
+    # stays int32: under the bench's jax_enable_x64 a bare Python-int
+    # modulus promotes to int64, which Mosaic cannot legalize (the exact
+    # round-2 failure class this file must never reintroduce).
+    eye_h = (jax.lax.broadcasted_iota(jnp.int32, (k, s), 0)
+             == jnp.remainder(
+                 jax.lax.broadcasted_iota(jnp.int32, (k, s), 1),
+                 jnp.asarray(k, jnp.int32))
+             ).astype(dt)
+
+    # zero the off-diagonal-block regions once; the per-pack loops only ever
+    # rewrite the diagonal blocks, so the zeros persist for the whole block
+    blk_ab[:] = jnp.zeros_like(blk_ab)
+    blk_b[:] = jnp.zeros_like(blk_b)
+
+    # every dynamic index stays int32 (m/k as int32 scalars): Python-int
+    # literals in index arithmetic lower as i64 constants under x64, which
+    # Mosaic refuses to mix with the i32 loop counters
+    m_i = jnp.asarray(m, jnp.int32)
+    k_i = jnp.asarray(k, jnp.int32)
+
+    # ---- init: W = (a_obs + inflat*I) / c, Z = I ----
+    # fori_loop bounds are int32 scalars: Python-int bounds make the loop
+    # counter int64 under x64, poisoning every index expression below
+    def init_pack(p, _):
+        for e in range(m):
+            a_e = a_ref[p * m_i + jnp.asarray(e, jnp.int32)] + inflat * eye
+            # Gershgorin bound / 1.9 (same slack as ops/solver.ns_invsqrt:
+            # spectrum(A/c) in (0, 1.9] keeps the iteration contractive
+            # while growing lam_min faster)
+            c = jnp.max(jnp.sum(jnp.abs(a_e), axis=1)) / 1.9
+            c = jnp.maximum(c, jnp.finfo(dt).tiny)
+            c_s[p, e] = c
+            w_s[pl.ds(p * k_i, k), e * k:(e + 1) * k] = a_e / c
+        z_s[pl.ds(p * k_i, k), :] = eye_h
+        return _
+
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_packs), init_pack,
+                      jnp.int32(0))
+
+    # ---- coupled iteration, all packs per step ----
+    # The block's stopping residual is accumulated inside the pack loop
+    # (max over packs of this step's |W' - I|), reproducing the XLA path's
+    # while-on-residual semantics at block granularity.
+    def step2(state):
+        it, _ = state
+
+        def one_pack(p, _):
+            rows = pl.ds(p * k_i, k)
+            w = w_s[rows, :]
+            t = 1.5 * eye_h - 0.5 * w
+            for e in range(m):
+                cols = slice(e * k, (e + 1) * k)
+                blk_ab[pl.ds(e * k, k), cols] = w[:, cols]
+                blk_ab[pl.ds(e * k, k),
+                       _LANES + e * k:_LANES + (e + 1) * k] = (
+                    z_s[rows, cols])
+            out = jnp.dot(t, blk_ab[:], precision=_HI,
+                          preferred_element_type=dt)
+            z_s[rows, :] = out[:, _LANES:_LANES + s]
+            for e in range(m):
+                blk_b[pl.ds(e * k, k), e * k:(e + 1) * k] = (
+                    out[:, e * k:(e + 1) * k])
+            w_new = jnp.dot(t, blk_b[:], precision=_HI,
+                            preferred_element_type=dt)
+            w_s[rows, :] = w_new
+            # running residual of this pack (stored via max into err scratch
+            # is handled by the caller loop below)
+            return jnp.maximum(_, jnp.max(jnp.abs(w_new - eye_h)))
+
+        err = jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_packs), one_pack,
+                                jnp.zeros((), dt))
+        return it + 1, err
+
+    def cond(state):
+        it, err = state
+        return jnp.logical_and(err > tol, it < max_iters)
+
+    _, err = jax.lax.while_loop(
+        cond, step2, (jnp.zeros((), jnp.int32), jnp.asarray(jnp.inf, dt)))
+    # smallest legal output tile is (8, 128); every entry carries the block
+    # residual and the wrapper max-reduces over all of them
+    err_ref[:] = jnp.broadcast_to(err, err_ref.shape)
+
+    # ---- finalize: z_e = Z_e / sqrt(c_e) ----
+    def out_pack(p, _):
+        for e in range(m):
+            z_e = z_s[pl.ds(p * k_i, k), e * k:(e + 1) * k]
+            z_ref[p * m_i + jnp.asarray(e, jnp.int32)] = (
+                z_e * jax.lax.rsqrt(c_s[p, e]))
+        return _
+
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_packs), out_pack,
+                      jnp.int32(0))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "inflat", "tol", "max_iters", "packing", "interpret", "return_info"))
+def ns_invsqrt_pallas(a_obs, inflat, *, tol: float = 1e-4,
+                      max_iters: int = 24, packing: str = "trio",
+                      interpret: bool = False, return_info: bool = False):
+    """Batched ``Z ~= (a_obs + inflat*I)^(-1/2)``, packed Pallas kernel.
+
+    Drop-in for :func:`ops.solver.ns_invsqrt` on float32 TPU batches with
+    ``supports(k)`` true (k <= 64, k % 8 == 0).  ``packing`` is kept for
+    A/B measurement ("trio" = the packed kernel; there is no unpacked
+    variant worth keeping — XLA already is one).
+
+    Returns ``z`` or ``(z, iters, residual)``; ``iters`` is the max over
+    blocks (blocks stop independently), ``residual`` the max final
+    ``|W - I|``.
+    """
+    del packing
+    a = jnp.asarray(a_obs)
+    if a.dtype != jnp.float32 or a.ndim != 3:
+        raise ValueError("pallas NS kernel handles float32 [B, k, k] only")
+    b, k, k2 = a.shape
+    if k != k2 or not supports(k):
+        raise ValueError(f"unsupported k={k} (need k%8==0 and 2*k<=128)")
+    m = pack_width(k)
+    s = m * k
+    # ~768 KB of W state per block at k=40 — deep enough to amortize the
+    # grid, small enough that W/Z/A/out blocks fit VMEM comfortably
+    n_packs = max(1, (3 << 18) // (k * s * 4))
+    g = m * n_packs
+    nb = -(-b // g)
+    b_pad = nb * g
+    if b_pad != b:
+        # zero-pad: A = inflat*I converges in one step, output discarded
+        a = jnp.concatenate(
+            [a, jnp.zeros((b_pad - b, k, k), a.dtype)], axis=0)
+
+    kernel = functools.partial(
+        _ns_kernel, k=k, m=m, n_packs=n_packs, inflat=float(inflat),
+        tol=float(tol), max_iters=int(max_iters))
+    # index_map zeros must be int32 (same x64 i64-legalization class as
+    # ops/pallas_eigh.py:299-303); np.int32, not jnp — index maps must not
+    # capture traced constants
+    z32 = np.int32(0)
+    # Under shard_map (the SPMD production path) pallas_call out_shapes must
+    # declare how outputs vary over the manual mesh axes or the
+    # varying-manual-axes check rejects the trace; per-shard solves vary
+    # over every manual axis.  No public API exposes the enclosing manual
+    # axes, hence the _src.core probe (empty outside shard_map -> None).
+    from jax._src import core as _core
+
+    vma = frozenset(_core.get_axis_env().axis_sizes) or None
+    z, err = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[pl.BlockSpec((g, k, k), lambda i: (i, z32, z32),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[
+            pl.BlockSpec((g, k, k), lambda i: (i, z32, z32),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda i: (i, z32),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b_pad, k, k), a.dtype, vma=vma),
+            jax.ShapeDtypeStruct((nb * 8, 128), a.dtype, vma=vma),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n_packs * k, s), a.dtype),      # W
+            pltpu.VMEM((n_packs * k, s), a.dtype),      # Z
+            pltpu.VMEM((s, 256), a.dtype),              # round-A RHS
+            pltpu.VMEM((s, s), a.dtype),                # round-B RHS
+            pltpu.SMEM((n_packs, m), a.dtype),          # scales
+        ],
+        interpret=interpret,
+    )(a)
+    z = z[:b]
+    if return_info:
+        # per-block while_loops stop independently; report the worst
+        return z, jnp.zeros((), jnp.int32), jnp.max(err)
+    return z

@@ -101,6 +101,49 @@ def _use_ns(a_obs) -> bool:
     return _EIGH_BACKEND == "auto" and jax.default_backend() != "cpu"
 
 
+#: Newton-Schulz implementation: "auto" = the packed Pallas kernel
+#: (ops/pallas_ns.py) when the shape supports it on TPU, XLA otherwise;
+#: "xla" forces the jnp iteration (ns_invsqrt).
+_NS_IMPL = "auto"
+
+
+def set_ns_impl(name: str):
+    """Select the NS inverse-sqrt implementation ("auto" | "pallas" | "xla")."""
+    global _NS_IMPL
+    if name not in ("auto", "pallas", "xla"):
+        raise ValueError(f"unknown ns impl {name!r}")
+    _NS_IMPL = name
+    jax.clear_caches()
+
+
+def _ns_z(a_obs, inflat):
+    """Dispatch ``Z = (a_obs + inflat*I)^(-1/2)`` to the best backend.
+
+    Returns ``(z, residual)`` — residual is the convergence certificate
+    (max ``|ZY - I|`` / ``|W - I|`` at loop exit) either way.
+    """
+    if isinstance(inflat, jax.core.Tracer):
+        # the Pallas kernel folds inflat into the trace as a static scalar;
+        # a traced inflat (letkf_solve_batch's jit signature) keeps XLA
+        use_pallas = False
+    elif _NS_IMPL == "pallas":
+        use_pallas = True
+    elif _NS_IMPL == "auto" and jax.default_backend() == "tpu":
+        from .pallas_ns import supports
+
+        use_pallas = supports(a_obs.shape[-1])
+    else:
+        use_pallas = False
+    if use_pallas:
+        from .pallas_ns import ns_invsqrt_pallas
+
+        z, _, resid = ns_invsqrt_pallas(a_obs, float(inflat),
+                                        return_info=True)
+        return z, resid
+    z, _, resid = ns_invsqrt(a_obs, inflat, return_info=True)
+    return z, resid
+
+
 @jax.named_scope("ns_invsqrt")
 def ns_invsqrt(a_obs, inflat, *, tol: float = 1e-4, max_iters: int = 24,
                mixed: bool = False, return_info: bool = False):
@@ -209,6 +252,117 @@ def ns_invsqrt(a_obs, inflat, *, tol: float = 1e-4, max_iters: int = 24,
         # final residual is smaller still — a conservative certificate.
         return z, iters, err
     return z
+
+
+@jax.named_scope("ns_refine64")
+def ns_invsqrt_refined(a_obs, inflat, *, refine_steps: int = 1):
+    """f32 Newton-Schulz solve + float64 Newton refinement of ``Z``.
+
+    The cheap middle point of the float64-parity axis (SURVEY hard part d,
+    open since round 1): the reference solves in float64 (`Makefile:9`
+    -DREAL64, eigen.f90:6-12) and full f64 emulation on TPU costs a
+    measured 18.3x (BENCH_r03.json).  Here the whole iteration runs in
+    fast f32 (the packed Pallas kernel where supported) and ONLY a final
+    Newton step runs in emulated f64:
+
+        X_0 = Z_f32 (cast),   X' = 1.5 X - 0.5 X (A X^2)      [3 f64 gemms]
+
+    One step squares the residual: with ``||I - A Z_f32^2|| ~ sqrt(eps32)``
+    scale errors, the refined ``X`` lands at ~eps32^2 ~ 1e-12 relative —
+    f64-grade — for 3 emulated-f64 matmuls instead of an entire f64
+    eigensolve.  (The uncoupled Newton-Schulz form is unstable over MANY
+    steps; a single step from an already-converged iterate is in its
+    stable regime, Higham, Functions of Matrices ch. 6.)
+
+    Returns ``(z64, resid)`` with resid the f32 stage's certificate.
+    """
+    a32 = jnp.asarray(a_obs).astype(jnp.float32)
+    z32, resid = _ns_z(a32, float(inflat))
+    k = a32.shape[-1]
+    a64 = (jnp.asarray(a_obs).astype(jnp.float64)
+           + jnp.asarray(inflat, jnp.float64)
+           * jnp.eye(k, dtype=jnp.float64))
+    x = z32.astype(jnp.float64)
+
+    def mm(p, q):
+        return jnp.einsum("bij,bjk->bik", p, q, precision=_HI,
+                          preferred_element_type=jnp.float64)
+
+    for _ in range(refine_steps):
+        x2 = mm(x, x)
+        ax2 = mm(a64, x2)
+        x = 1.5 * x - 0.5 * mm(x, ax2)
+    # re-symmetrize: the refinement's product form drifts O(eps64)
+    # asymmetric; Z must be symmetric for the s = (Zg).(Zx') identity
+    x = 0.5 * (x + jnp.swapaxes(x, -1, -2))
+    return x, resid
+
+
+def letkf_solve_group_refined(
+    a_obs,
+    g,
+    xb,
+    inflats,
+    has_obs,
+    *,
+    rtpp_alpha,
+    rtps_alpha,
+    refine_steps: int = 1,
+    return_diagnostics: bool = False,
+):
+    """Fused group solve at f64-refined precision (see ns_invsqrt_refined).
+
+    Same contract as :func:`letkf_solve_group_from_normal` with
+    ``solver_dtype=float64``, but the eigensolve-equivalent runs as
+    f32-NS + one f64 Newton step; weight application and RTPP/RTPS run in
+    f64.  Accepts f32 or f64 normal terms (f64 terms preserve a
+    compensated/accurate accumulation upstream).
+    """
+    out_dtype = xb.dtype
+    f64 = jnp.float64
+    xb = jnp.asarray(xb).astype(f64)
+    g = jnp.asarray(g).astype(f64)
+    k = xb.shape[-1]
+    sqkm1 = jnp.sqrt(jnp.asarray(k - 1, f64))
+    xb_mean = jnp.mean(xb, axis=-1, keepdims=True)
+    xb_prime = xb - xb_mean
+
+    by_val = {}
+    for vi, val in enumerate(inflats):
+        by_val.setdefault(float(val), []).append(vi)
+    xa_cols = [None] * len(inflats)
+    resid = jnp.zeros((), jnp.float32)
+    for val, vis in by_val.items():
+        z, r_val = ns_invsqrt_refined(a_obs, val,
+                                      refine_steps=refine_steps)
+        resid = jnp.maximum(resid, r_val.astype(jnp.float32))
+        zg = jnp.einsum("bij,bj->bi", z, g, precision=_HI,
+                        preferred_element_type=f64)
+        xp = xb_prime[:, jnp.asarray(vis), :]
+        u = jnp.einsum("bij,bvj->bvi", z, xp, precision=_HI,
+                       preferred_element_type=f64)
+        s = jnp.sum(zg[:, None, :] * u, axis=-1, keepdims=True)
+        xa_sub = xb_mean[:, jnp.asarray(vis), :] + s + sqkm1 * u
+        for j, vi in enumerate(vis):
+            xa_cols[vi] = xa_sub[:, j, :]
+    xa = jnp.stack(xa_cols, axis=1)
+
+    rtpp = jnp.asarray(rtpp_alpha, f64)[None, :, None]
+    rtps = jnp.asarray(rtps_alpha, f64)[None, :, None]
+    xa_mean = jnp.mean(xa, axis=-1, keepdims=True)
+    xa_prime = xa - xa_mean
+    xa_prime = (1.0 - rtpp) * xa_prime + rtpp * xb_prime
+    xb_std = jnp.sum(xb_prime * xb_prime, axis=-1, keepdims=True)
+    xa_std = jnp.sum(xa_prime * xa_prime, axis=-1, keepdims=True)
+    xa_std = jnp.maximum(xa_std, jnp.finfo(f64).tiny)
+    factor = rtps * jnp.sqrt(xb_std / xa_std) - rtps + 1.0
+    xa = xa_mean + xa_prime * factor
+
+    xa = xa.astype(out_dtype)
+    xa = jnp.where(has_obs[:, None, None], xa, xb.astype(out_dtype))
+    if return_diagnostics:
+        return xa, {"ns_residual": resid}
+    return xa
 
 
 @jax.named_scope("eigh")
@@ -398,8 +552,7 @@ def letkf_solve_from_normal(
     out_dtype = xb.dtype
     resid = jnp.zeros((), jnp.float32)
     if _use_ns(jnp.asarray(a_obs).astype(solver_dtype)):
-        z, _, resid = ns_invsqrt(a_obs.astype(solver_dtype), inflat,
-                                 return_info=True)
+        z, resid = _ns_z(a_obs.astype(solver_dtype), inflat)
         xa = _apply_z(z, g, xb, solver_dtype=solver_dtype)
     else:
         lam, v, g = letkf_weight_factors_from_normal(
@@ -476,7 +629,7 @@ def letkf_solve_group_from_normal(
             by_val.setdefault(float(val), []).append(vi)
         xa_cols = [None] * len(inflats)
         for val, vis in by_val.items():
-            z, _, r_val = ns_invsqrt(a, val, return_info=True)  # [B, k, k]
+            z, r_val = _ns_z(a, val)                            # [B, k, k]
             resid = jnp.maximum(resid, r_val.astype(jnp.float32))
             zg = jnp.einsum("bij,bj->bi", z, g, precision=_HI,
                             preferred_element_type=solver_dtype)

@@ -113,3 +113,50 @@ def test_ns_ill_conditioned_dense_obs():
     assert kappa > 20, f"case not ill-conditioned enough ({kappa:.1f})"
     # float32 accuracy floor of the iteration is O(kappa * eps_f32)
     assert np.abs(res).max() < max(5e-4, 20 * kappa * 1.2e-7)
+
+
+def test_refined_f64_beats_f32_accuracy():
+    """f32 NS + one f64 Newton step lands at f64-grade Z accuracy.
+
+    The cheap middle point of the f64-parity axis (SURVEY hard part d):
+    three emulated-f64 gemms instead of a full f64 eigensolve, ~2 orders
+    closer to the f64 oracle than the plain f32 solve.
+    """
+    k = 24
+    rng = np.random.default_rng(4)
+    y = rng.standard_normal((32, k, 120)).astype(np.float32) * 0.4
+    a = jnp.asarray(y @ np.transpose(y, (0, 2, 1)))
+    inflat = (k - 1) / 1.1
+    z64, resid = solver.ns_invsqrt_refined(a, inflat)
+    assert z64.dtype == jnp.float64
+    z32 = solver.ns_invsqrt(a, inflat)
+    af = np.asarray(a, np.float64) + inflat * np.eye(k)
+    lam, v = np.linalg.eigh(af)
+    zo = (v / np.sqrt(lam)[:, None, :]) @ np.transpose(v, (0, 2, 1))
+    err32 = np.abs(np.asarray(z32, np.float64) - zo).max() / np.abs(zo).max()
+    err64 = np.abs(np.asarray(z64) - zo).max() / np.abs(zo).max()
+    assert err64 < err32 / 20, (err64, err32)
+    assert err64 < 1e-7
+    np.testing.assert_array_equal(np.asarray(z64),
+                                  np.swapaxes(np.asarray(z64), 1, 2))
+
+
+def test_refined_group_solve_matches_f64_solve():
+    k = 16
+    rng = np.random.default_rng(5)
+    nb = 64
+    y = rng.standard_normal((nb, k, 60)).astype(np.float32) * 0.4
+    a = jnp.asarray((y @ np.transpose(y, (0, 2, 1))).astype(np.float64))
+    g = jnp.asarray(rng.standard_normal((nb, k)))
+    xb = jnp.asarray(rng.standard_normal((nb, 2, k)))
+    kw = dict(inflats=((k - 1) / 1.1, (k - 1) / 1.6),
+              rtpp_alpha=(0.9, 0.0), rtps_alpha=(0.0, 0.9))
+    xa_r = solver.letkf_solve_group_refined(
+        a, g, xb, has_obs=jnp.ones(nb, bool), **kw)
+    xa_o = solver.letkf_solve_group_from_normal(
+        a, g, xb, kw["inflats"], jnp.ones(nb, bool),
+        rtpp_alpha=kw["rtpp_alpha"], rtps_alpha=kw["rtps_alpha"],
+        solver_dtype=jnp.float64)
+    sc = float(np.abs(np.asarray(xa_o)).max())
+    np.testing.assert_allclose(np.asarray(xa_r), np.asarray(xa_o),
+                               rtol=0, atol=1e-6 * sc)
