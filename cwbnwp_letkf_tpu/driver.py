@@ -114,6 +114,7 @@ def run_analysis(
     fuse_variables: bool = True,
     metrics: Optional[RunMetrics] = None,
     device_breakdown: bool = False,
+    distributed: bool = False,
 ) -> WrfEnsemble:
     """In-place LETKF analysis of ``ens`` for every ``var_update`` variable.
 
@@ -122,14 +123,37 @@ def run_analysis(
     eigh per gridpoint per *group* instead of per variable.  Set False for
     the reference-shaped one-variable-at-a-time loop (identical results up
     to eigh roundoff; tests/test_update.py).
+
+    ``distributed=True`` runs the multi-host pipeline (the reference's
+    multi-rank ``main``, cwb_letkf.f90:20-81): ``ens`` must hold only THIS
+    process's member block (``StreamingWrfEnsemble(members=member_block())``
+    — its ``k`` stays the full ensemble size and its mean geopotential is
+    global), ``mesh`` must span all processes' devices, and every process
+    must pass identical obs.  Per group: local member columns -> member-
+    sharded assembly -> the GSPMD member->point transpose (the reference's
+    ``letkf_scatter_grid`` alltoallv, module_mpi_util.f90:190-267) ->
+    point-sharded fused update -> inverse transpose -> this process writes
+    its own members (``letkf_gather_grid``, mpi_util.f90:269-358).
     """
     import jax.numpy as jnp
 
     from .parallel.update import (sharded_update_points,
-                                  sharded_update_points_group)
+                                  sharded_update_points_cycle)
 
     timer = timer or StageTimer(enabled=False)
     metrics = metrics if metrics is not None else RunMetrics()
+    k_ens = cfg.nmember
+    if distributed:
+        if mesh is None:
+            raise ValueError("distributed=True requires a global mesh")
+        if not fuse_variables:
+            raise ValueError(
+                "distributed mode supports the fused path only")
+        if getattr(ens, "k", k_ens) != k_ens:
+            raise ValueError(
+                "distributed=True needs an ensemble whose k is the FULL "
+                "member count with a local member block "
+                "(StreamingWrfEnsemble(members=member_block(...)))")
     if cfg.accum_precision != "high":
         from .ops.dense import set_accum_precision
 
@@ -164,7 +188,7 @@ def run_analysis(
                 pts, (ux, uy, uz) = points_for(spec)
                 xb = ens.load_group([spec], ux, uy, uz)[:, 0, :]
                 kwargs = dict(
-                    inflat=(ens.k - 1) / infl.multi_infl[ivar],
+                    inflat=(k_ens - 1) / infl.multi_infl[ivar],
                     weight_function=cfg.weight_function,
                     use_rtpp=bool(infl.use_rtpp[ivar]),
                     rtpp_alpha=infl.rtpp_alpha[ivar],
@@ -196,33 +220,59 @@ def run_analysis(
 
     import jax
 
-    # ---- phase 0: plan every group up front ------------------------------
-    # Analysis points and exact bucketed block budgets involve device work
-    # with host round-trips; doing them inside the pipelined loop below
-    # would serialize against the in-flight group's compute.
-    plans = []
-    for key, members in _group_variables(cfg, platforms):
-        spec0 = members[0][2]
-        pts, dims = points_for(spec0)
+    from .ops.cycle import (CycleGroup, plan_cycle_budgets,
+                            update_points_cycle)
+
+    # ---- phase 0: plan one CYCLE per point set up front ------------------
+    # Variable groups sharing their analysis points (same stagger) fuse
+    # into ONE traced cycle program that shares point ordering, candidate
+    # culling, gathers and obs tables across the groups (ops/cycle.py);
+    # the per-group walls of round 3 showed the cycle accumulation-bound
+    # precisely because each group re-did that shared work.  Analysis
+    # points and exact budgets involve host round-trips, so planning stays
+    # out of the pipelined loop below.
+    def _cycle_group(members):
         ivars = tuple(iv for iv, _, _ in members)
-        pts_d = jnp.asarray(pts)
-        budgets = plan_max_blocks(pts_d, platforms, ivars[0], chunk=chunk,
-                                  solver_dtype=solver_dtype,
-                                  n_shards=n_shards)
-        kwargs = dict(
-            inflats=tuple((ens.k - 1) / infl.multi_infl[iv] for iv in ivars),
-            weight_function=cfg.weight_function,
+        return CycleGroup(
+            ivars=ivars,
+            inflats=tuple((k_ens - 1) / infl.multi_infl[iv]
+                          for iv in ivars),
             rtpp_alpha=tuple(
                 infl.rtpp_alpha[iv] if infl.use_rtpp[iv] else 0.0
                 for iv in ivars),
             rtps_alpha=tuple(
                 infl.rtps_alpha[iv] if infl.use_rtps[iv] else 0.0
                 for iv in ivars),
+        )
+
+    by_pts: Dict[Tuple[int, int], dict] = {}
+    pts_order = []
+    for key, members in _group_variables(cfg, platforms):
+        spec0 = members[0][2]
+        pkey = (spec0.hstag, spec0.vstag)
+        if pkey not in by_pts:
+            by_pts[pkey] = []
+            pts_order.append(pkey)
+        by_pts[pkey].append(members)
+
+    plans = []
+    for pkey in pts_order:
+        members_lists = by_pts[pkey]
+        spec0 = members_lists[0][0][2]
+        pts, dims = points_for(spec0)
+        pts_d = jnp.asarray(pts)
+        cgroups = tuple(_cycle_group(members) for members in members_lists)
+        budgets = plan_cycle_budgets(
+            pts_d, platforms, cgroups, chunk=chunk,
+            solver_dtype=solver_dtype, n_shards=n_shards)
+        members = [mv for members in members_lists for mv in members]
+        kwargs = dict(
+            weight_function=cfg.weight_function,
             solver_dtype=solver_dtype,
             chunk=chunk,
         )
-        plans.append(dict(members=members, pts_d=pts_d, dims=dims,
-                          ivars=ivars, budgets=budgets, kwargs=kwargs))
+        plans.append(dict(members=members, groups=cgroups, pts_d=pts_d,
+                          dims=dims, budgets=budgets, kwargs=kwargs))
     metrics.stage("plan_groups")
 
     # ---- pipelined load -> compute -> store ------------------------------
@@ -240,11 +290,18 @@ def run_analysis(
         # slice by slice avoids per-variable host copies + a device-side
         # stack (round-1 did jnp.stack of V separate transfers)
         xb_host = ens.load_group(specs, ux, uy, uz)
-        xb_stack = jax.device_put(xb_host)                       # [B, V, k]
+        if distributed:
+            # [B, V, k_local] local columns -> global point-sharded [B, V, k]
+            # (the reference's member-rank read + scatter alltoallv)
+            from .parallel.multihost import member_group_to_points
+
+            xb_stack = member_group_to_points(mesh, xb_host, k_ens)
+        else:
+            xb_stack = jax.device_put(xb_host)                   # [B, V, k]
         load_s = time.time() - t0
         if mesh is not None:
-            xa_stack, diag = sharded_update_points_group(
-                mesh, xb_stack, plan["pts_d"], platforms, plan["ivars"],
+            xa_stack, diag = sharded_update_points_cycle(
+                mesh, xb_stack, plan["pts_d"], platforms, plan["groups"],
                 max_blocks=plan["budgets"] or None,
                 return_diagnostics=True, **plan["kwargs"])
         else:
@@ -253,14 +310,14 @@ def run_analysis(
             # program as constants — gigabytes at radar volume, shipped to
             # the compiler per trace, and a forced recompile every cycle
             # when the obs change.  The in-program table/bucket rebuild is
-            # one cheap pass per group call.
+            # one cheap pass per cycle call.
             statics = [dp.static for dp in platforms]
 
             def prog(xb_s, pts_s, arrays):
                 plats = [DevicePlatform(static=st, xyz=xyz, stats=stats)
                          for st, (xyz, stats) in zip(statics, arrays)]
-                return update_points_group(
-                    xb_s, pts_s, plats, plan["ivars"],
+                return update_points_cycle(
+                    xb_s, pts_s, plats, plan["groups"],
                     max_blocks=plan["budgets"] or None,
                     return_diagnostics=True, **plan["kwargs"])
 
@@ -274,13 +331,33 @@ def run_analysis(
         names = "+".join(v for _, v, _ in members)
         ux, uy, uz = plan["dims"]
         specs = [spec for _, _, spec in members]
-        xa_np = np.empty((ux * uy * uz, len(specs), ens.k), np.float32)
-        for vi, (ivar, vname, spec) in enumerate(members):
-            xa = xa_stack[:, vi, :]
-            if spec.tune_q:
-                xa = tune_q(xa)  # letkf_core.f90:252-278
-            xa_np[:, vi, :] = np.asarray(xa)
-        ens.store_group(specs, xa_np, ux, uy, uz)
+        if distributed:
+            from .parallel.multihost import points_to_member_columns
+
+            tq = {vi for vi, (_, _, spec) in enumerate(members)
+                  if spec.tune_q}
+            if tq:
+                import jax.numpy as jnp_
+
+                # tune_q rescales over the member axis, which is unsharded
+                # in point layout — apply on-device BEFORE the inverse
+                # transpose (each host only holds its own columns after)
+                def _tq(x):
+                    return jnp_.stack(
+                        [tune_q(x[:, vi, :]) if vi in tq else x[:, vi, :]
+                         for vi in range(len(specs))], axis=1)
+
+                xa_stack = jax.jit(_tq)(xa_stack)
+            xa_np = points_to_member_columns(mesh, xa_stack, k_ens)
+            ens.store_group(specs, xa_np, ux, uy, uz)
+        else:
+            xa_np = np.empty((ux * uy * uz, len(specs), ens.k), np.float32)
+            for vi, (ivar, vname, spec) in enumerate(members):
+                xa = xa_stack[:, vi, :]
+                if spec.tune_q:
+                    xa = tune_q(xa)  # letkf_core.f90:252-278
+                xa_np[:, vi, :] = np.asarray(xa)
+            ens.store_group(specs, xa_np, ux, uy, uz)
         overflow = int(diag["bucket_overflow"])
         ns_resid = float(diag["ns_residual"])
         if overflow:

@@ -97,6 +97,72 @@ def sharded_update_points(
     return xa[:b]
 
 
+def sharded_update_points_cycle(
+    mesh: Mesh,
+    xb,
+    points_xyz,
+    platforms: Sequence[DevicePlatform],
+    groups,
+    *,
+    weight_function: int,
+    solver_dtype=jnp.float32,
+    chunk: int = 4096,
+    subchunk: int = 512,
+    method: str = "auto",
+    max_blocks=None,
+    point_order: str = "auto",
+    return_diagnostics: bool = False,
+):
+    """SPMD variant of :func:`~cwbnwp_letkf_tpu.ops.cycle.update_points_cycle`.
+
+    ``xb [B, V_total, k]`` / ``points_xyz [B, 3]`` sharded along ``B``; obs
+    replicated; each device runs the full fused cycle on its point shard.
+    Same padding (last-real-point copies) / diagnostics contract as
+    :func:`sharded_update_points`; budgets from
+    ``plan_cycle_budgets(..., n_shards=mesh.devices.size)`` make bucketed
+    overflow impossible by construction.
+    """
+    from ..ops.cycle import update_points_cycle
+
+    xb = jnp.asarray(xb)
+    q = jnp.asarray(points_xyz)
+    b, v_tot, k = xb.shape
+    n_dev = mesh.devices.size
+
+    b_pad = -(-b // n_dev) * n_dev
+    if b_pad != b:
+        xb = jnp.concatenate(
+            [xb, jnp.zeros((b_pad - b, v_tot, k), xb.dtype)])
+        q = jnp.concatenate([q, jnp.broadcast_to(q[-1:], (b_pad - b, 3))])
+
+    statics = [dp.static for dp in platforms]
+    arrays = [(dp.xyz, dp.stats) for dp in platforms]
+
+    def local(xb_l, q_l, arrays_l):
+        plats = [
+            DevicePlatform(static=st, xyz=xyz, stats=stats)
+            for st, (xyz, stats) in zip(statics, arrays_l)
+        ]
+        xa_l, diag = update_points_cycle(
+            xb_l, q_l, plats, groups,
+            weight_function=weight_function, solver_dtype=solver_dtype,
+            chunk=chunk, subchunk=subchunk, method=method,
+            max_blocks=max_blocks, point_order=point_order,
+            return_diagnostics=True)
+        return xa_l, _psum_diag(diag)
+
+    f = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(GRID_AXIS), P(GRID_AXIS), P()),
+        out_specs=(P(GRID_AXIS), P()),
+    )
+    xa, diag = f(xb, q, arrays)
+    if return_diagnostics:
+        return xa[:b], diag
+    return xa[:b]
+
+
 def _psum_diag(diag):
     """Reduce per-shard diagnostics across the grid axis (replicated out)."""
     return {

@@ -89,6 +89,41 @@ def main():
           f"({time.time() - t0:.1f} s)", flush=True)
     assert float(resid) < 1e-3, float(resid)
 
+    # Packed Pallas Newton-Schulz kernel (the round-4 production solve) at
+    # the bench k=40 AND at production k=96 (falls back to XLA there —
+    # supports() is False — so the k=96 check exercises the dispatch).
+    t0 = time.time()
+    from cwbnwp_letkf_tpu.ops.pallas_ns import ns_invsqrt_pallas, supports
+
+    z_p, _, resid_p = jax.jit(lambda a: ns_invsqrt_pallas(
+        a, (k - 1) / 1.1, interpret=interpret, return_info=True))(a_obs)
+    z_ph = np.asarray(z_p)
+    assert np.isfinite(z_ph).all()
+    assert float(resid_p) < 1e-3, float(resid_p)
+    dmax = float(np.max(np.abs(z_ph - zi)) / np.max(np.abs(zi)))
+    assert dmax < 1e-4, f"pallas NS diverges from XLA NS: {dmax}"
+    print(f"[smoke] pallas NS (packed m=3): resid={float(resid_p):.2e} "
+          f"vs-xla {dmax:.2e} ({time.time() - t0:.1f} s)", flush=True)
+
+    # k=96 production shape: packed kernel unsupported (2*96 > 128) -> the
+    # solver dispatch must route to XLA NS; also guards the Jacobi VMEM
+    # budget logic the production config would hit.
+    t0 = time.time()
+    from cwbnwp_letkf_tpu.ops.pallas_eigh import (VMEM_BUDGET_BYTES,
+                                                  jacobi_vmem_bytes)
+
+    assert not supports(96)
+    k96 = 96
+    y96 = rng.standard_normal((128, k96, 150)).astype(np.float32) * 0.4
+    a96 = jnp.asarray(y96 @ np.transpose(y96, (0, 2, 1)))
+    z96, it96, r96 = jax.jit(lambda a: ns_invsqrt(
+        a, (k96 - 1) / 1.1, return_info=True))(a96)
+    assert np.isfinite(np.asarray(z96)).all()
+    assert float(r96) < 1e-3, float(r96)
+    fits = jacobi_vmem_bytes(k96) <= VMEM_BUDGET_BYTES
+    print(f"[smoke] k=96 NS: iters={int(it96)} resid={float(r96):.2e} "
+          f"jacobi-vmem-fits={fits} ({time.time() - t0:.1f} s)", flush=True)
+
     # Production-grouped update taking the BUCKETED branch (R >= 8192).
     t0 = time.time()
     from cwbnwp_letkf_tpu.obs.synthetic import (correlated_ensemble,
@@ -127,6 +162,29 @@ def main():
     assert moved > 0, "update was a no-op"
     print(f"[smoke] bucketed group update: budgets={budgets} overflow=0 "
           f"mean|xa-xb|={moved:.3f} ({time.time() - t0:.1f} s)", flush=True)
+
+    # Fused multi-group cycle (round-4 production path): shared culling +
+    # per-group terms + per-outer-chunk solves in one program.
+    t0 = time.time()
+    from cwbnwp_letkf_tpu.ops.cycle import (CycleGroup, plan_cycle_budgets,
+                                            update_points_cycle)
+
+    cgroups = (
+        CycleGroup(ivars=(0,), inflats=((k - 1) / 1.1,),
+                   rtpp_alpha=(0.95,), rtps_alpha=(0.0,)),
+        CycleGroup(ivars=(1,), inflats=((k - 1) / 1.6,),
+                   rtpp_alpha=(0.0,), rtps_alpha=(0.95,)),
+    )
+    cbud = plan_cycle_budgets(pts_d, [dev], cgroups, chunk=1024,
+                              subchunk=256)
+    xa_c, diag_c = jax.jit(lambda x, q: update_points_cycle(
+        x, q, [dev], cgroups, weight_function=0, chunk=1024, subchunk=256,
+        max_blocks=cbud or None, return_diagnostics=True))(xb_v, pts_d)
+    assert np.isfinite(np.asarray(xa_c)).all()
+    assert int(diag_c["bucket_overflow"]) == 0
+    dvs = float(np.max(np.abs(np.asarray(xa_c) - xa_h)))
+    print(f"[smoke] fused cycle: overflow=0 max|cycle-pergroup|={dvs:.2e} "
+          f"({time.time() - t0:.1f} s)", flush=True)
 
     # shard_map leg on the real chip (1-device mesh): the manual-axes
     # tracing rules differ from plain jit — round-3 found the NS
