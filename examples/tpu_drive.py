@@ -5,7 +5,12 @@ background, observations of truth near the domain center.  Checks:
 RMSE near stations drops sharply, far points stay at background,
 rerun is bit-identical, both weight functions finite.
 """
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                os.pardir))
 
 import jax
 import jax.numpy as jnp

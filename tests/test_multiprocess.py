@@ -46,6 +46,108 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+def _write_gts_obs(input_dir, k, nobs=20, seed=9):
+    """Synthetic synop omboma files near the fixture domain center."""
+    import numpy as np
+
+    from cwbnwp_letkf_tpu.obs.gts import GtsRecords, write_member_file
+
+    rng = np.random.default_rng(seed)
+    base = GtsRecords()
+    for i in range(nobs):
+        base.ids.append(f"T{i:04d}")
+        base.lat.append(float(rng.uniform(23.6, 23.8)))
+        base.lon.append(float(rng.uniform(119.9, 120.1)))
+        base.pre.append(1000.0)
+        base.obs.append([float(rng.normal(5, 1)), float(rng.normal(-3, 1)),
+                         float(rng.normal(301, 1)), 1000.0,
+                         float(abs(rng.normal(8e-3, 1e-3)))])
+        base.qc.append([0, 0, 0, 0, 0])
+        base.err.append([1.0, 1.0, 0.8, 1.0, 1e-3])
+        base.level.append(1)
+    for m in range(k):
+        rec = GtsRecords(
+            **{f: list(getattr(base, f))
+               for f in ("ids", "lat", "lon", "pre", "obs", "qc", "err",
+                         "level")},
+            omb=[[float(rng.normal(0, s)) for s in (1, 1, 1, 1, 1e-3)]
+                 for _ in range(nobs)])
+        write_member_file(str(input_dir / f"gts_letkf_{m+1:03d}"),
+                          {"synop": rec})
+
+
+def test_two_process_distributed_cli(tmp_path):
+    """The REAL CLI path on 2 processes (round-3 verdict missing #2).
+
+    Both processes run ``python -m cwbnwp_letkf_tpu.cli --distributed``
+    (member-block streaming ingest, GSPMD member->point transpose, sharded
+    fused cycle, per-process member write-back, barrier + rank-0 mean);
+    outputs must match a single-process CLI run.
+    """
+    import numpy as np
+
+    from cwbnwp_letkf_tpu.cli import main as cli_main
+    from cwbnwp_letkf_tpu.io.netcdf import NetcdfReader
+
+    input_dir = tmp_path / "input"
+    input_dir.mkdir()
+    make_wrf_ensemble(str(input_dir), K, seed=5)
+    (input_dir / "input.nml").write_text(NML.format(k=K))
+    _write_gts_obs(input_dir, K)
+
+    # single-process reference run (in-process, CPU mesh from conftest)
+    out_single = tmp_path / "out_single"
+    rc = cli_main(["--input", str(input_dir), "--output", str(out_single),
+                   "--quiet", "--chunk", "64"])
+    assert rc == 0
+
+    out_dist = tmp_path / "out_dist"
+    port = _free_port()
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["PYTHONPATH"] = os.pathsep.join(
+        [os.path.dirname(os.path.dirname(os.path.abspath(__file__)))]
+        + env.get("PYTHONPATH", "").split(os.pathsep))
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "cwbnwp_letkf_tpu.cli",
+             "--input", str(input_dir), "--output", str(out_dist),
+             "--distributed", "--coordinator", f"localhost:{port}",
+             "--num-processes", "2", "--process-id", str(pid),
+             "--platform", "cpu", "--quiet", "--chunk", "64"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env)
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"cli proc {pid} failed:\n{out[-4000:]}"
+
+    for m in range(K):
+        name = f"wrfout_nc_{m+1:03d}"
+        with NetcdfReader(str(out_single / name)) as a, \
+                NetcdfReader(str(out_dist / name)) as b:
+            ta = a.get_variable("T")
+            tb = b.get_variable("T")
+        scale = np.abs(ta).max()
+        np.testing.assert_allclose(tb, ta, rtol=0, atol=3e-5 * scale,
+                                   err_msg=name)
+    with NetcdfReader(str(out_single / "wrfout_nc_mean")) as a, \
+            NetcdfReader(str(out_dist / "wrfout_nc_mean")) as b:
+        np.testing.assert_allclose(
+            b.get_variable("T"), a.get_variable("T"),
+            rtol=0, atol=3e-5 * float(np.abs(a.get_variable("T")).max()))
+
+
 def test_two_process_distributed_update(tmp_path):
     make_wrf_ensemble(str(tmp_path), K, seed=5)
     (tmp_path / "input.nml").write_text(NML.format(k=K))
