@@ -45,7 +45,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..constants import GC1999_SQ
-from .dense import DenseTables, terms_from_r2
+from .dense import DenseTables, fuse_tables, terms_from_r2
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -212,7 +212,7 @@ def bucket_platform(
     center = jnp.mean(obs, axis=0, keepdims=True)   # == dense.py's center
     order = jnp.argsort(hilbert3(obs))
     obs_s = obs[order]
-    fused = jnp.concatenate([tables.bgbg, tables.ombg], axis=-1)[order]
+    fused = fuse_tables(tables)[order]
     nvalid = tables.nvalid[order]
 
     s = block_size

@@ -48,9 +48,9 @@ import jax.numpy as jnp
 
 from ..constants import GC1999_SQ
 from .bucketed import hilbert3
-from .dense import DenseTables, platform_dense_tables, terms_from_r2
+from .dense import fused_platform_table, terms_from_r2
 from .neighbors import normalize_coords
-from .solver import letkf_solve_group_from_normal
+from .solver import letkf_solve_cycle_from_normal
 from .update import BUCKET_MIN_RECORDS, BucketBudget, DevicePlatform
 
 _HI = jax.lax.Precision.HIGHEST
@@ -71,32 +71,36 @@ class CycleBlocking(NamedTuple):
     Like ops/bucketed.BucketedPlatform but metric-agnostic: coordinates are
     kept RAW (meters) so every client group can normalize with its own
     radii; only the culling geometry (centers, radii) lives in the wide
-    metric.  ``fused_by_mask`` holds one reordered table per distinct
-    client assimilation mask.
+    metric.  ``fused_by_mask`` / ``nvalid_by_mask`` hold one reordered
+    table (and its accepted-obs counts — masks gate acceptance, so counts
+    are per-mask too) per distinct client assimilation mask; both are
+    empty on a geometry-only blocking (budget planning needs only the
+    culling geometry, never the tables — at production radar volume with
+    k=96 the table is ~7.5 GB, see ops/dense.fused_platform_table).
 
     Shapes (NB = blocks, S = block size, F = k*(k+1)):
-      xyz_raw:       [NB*S, 3]  raw coords, Hilbert(wide) order
-      fused_by_mask: tuple of [NB, S, F]
-      nvalid:        [NB, S]
-      rec_mask:      [NB, S]
-      centers_w:     [NB, 3]   wide-normalized block centers
-      radii_w:       [NB]      wide-normalized covering radii
+      xyz_raw:        [NB*S, 3]  raw coords, Hilbert(wide) order
+      fused_by_mask:  tuple of [NB, S, F]
+      nvalid_by_mask: tuple of [NB, S]
+      rec_mask:       [NB, S]
+      centers_w:      [NB, 3]   wide-normalized block centers
+      radii_w:        [NB]      wide-normalized covering radii
     """
 
     xyz_raw: jax.Array
     fused_by_mask: Tuple[jax.Array, ...]
-    nvalid: jax.Array
+    nvalid_by_mask: Tuple[jax.Array, ...]
     rec_mask: jax.Array
     centers_w: jax.Array
     radii_w: jax.Array
 
     @property
     def n_blocks(self) -> int:
-        return self.nvalid.shape[0]
+        return self.rec_mask.shape[0]
 
     @property
     def block_size(self) -> int:
-        return self.nvalid.shape[1]
+        return self.rec_mask.shape[1]
 
 
 class PlatformPlan(NamedTuple):
@@ -108,7 +112,9 @@ class PlatformPlan(NamedTuple):
     wide_h: float                    # widest client hclr (km)
     wide_v: float                    # widest client vclr (km; -1 = 2-D)
     mask_idx: Tuple[int, ...]        # per client: index into tables/fused
-    tables: Tuple[DenseTables, ...]  # per distinct mask (dense path)
+    tables: Tuple[Tuple[jax.Array, jax.Array], ...]
+                                     # per distinct mask: (fused [R, F],
+                                     # nvalid [R]) — dense path only
     centers: Tuple[jax.Array, ...]   # per client: [1, 3] group-normalized
                                      # record centroid (dense.py centering)
     blocking: CycleBlocking | None   # bucketed path only
@@ -123,35 +129,34 @@ def _wide_metric(st, groups, clients) -> Tuple[float, float]:
     return max(hs), wide_v
 
 
-def _cycle_blocking(dp, tables, wide_h, wide_v, block_size,
-                    presorted: bool = False) -> CycleBlocking:
+def _cycle_blocking(dp, masks, wide_h, wide_v, block_size,
+                    presorted: bool = False,
+                    solver_dtype=jnp.float32,
+                    geometry_only: bool = False) -> CycleBlocking:
     """Hilbert-block the records in the wide metric, raw coords retained.
 
     ``presorted=True`` asserts the caller already ordered the records by
     ``hilbert3(normalize_coords(xyz, wide_h, wide_v))`` and skips the
-    device-side reorder entirely.  At production radar volume with k=96 the
-    fused table is ~7.5 GB; the gather-based reorder would transiently
-    double that, which is the difference between fitting one chip's HBM and
-    not (any fixed order is VALID — blocks are built from the given order —
-    merely slower to cull if not Hilbert; sortedness is a performance
-    contract, not a correctness one).
+    device-side reorder (any fixed order is VALID — blocks are built from
+    the given order — merely slower to cull if not Hilbert; sortedness is
+    a performance contract, not a correctness one).  Reorder and padding
+    are applied to the small per-record STATS before the table einsum
+    (ops/dense.fused_platform_table), so peak memory is one table — the
+    k=96 production radar volume fits where a table-level gather/pad
+    (transiently 2x ~7.5 GB) did not.  ``geometry_only`` skips the tables
+    entirely (budget planning touches only centers/radii).
     """
     obs_raw = jnp.asarray(dp.xyz)
     obs_w = normalize_coords(obs_raw, wide_h, wide_v)
     r = obs_raw.shape[0]
+    order = None
     if presorted:
         obs_raw_s = obs_raw
         obs_w_s = obs_w
-        fused = [jnp.concatenate([t.bgbg, t.ombg], axis=-1)
-                 for t in tables]
-        nvalid = tables[0].nvalid
     else:
         order = jnp.argsort(hilbert3(obs_w))
         obs_raw_s = obs_raw[order]
         obs_w_s = obs_w[order]
-        fused = [jnp.concatenate([t.bgbg, t.ombg], axis=-1)[order]
-                 for t in tables]
-        nvalid = tables[0].nvalid[order]
 
     s = block_size
     nb = -(-r // s)
@@ -162,11 +167,15 @@ def _cycle_blocking(dp, tables, wide_h, wide_v, block_size,
             [obs_raw_s, jnp.broadcast_to(obs_raw_s[-1:], (pad, 3))], axis=0)
         obs_w_s = jnp.concatenate(
             [obs_w_s, jnp.broadcast_to(obs_w_s[-1:], (pad, 3))], axis=0)
-        fused = [jnp.concatenate(
-            [f, jnp.zeros((pad, f.shape[-1]), f.dtype)], axis=0)
-            for f in fused]
-        nvalid = jnp.concatenate(
-            [nvalid, jnp.zeros((pad,), nvalid.dtype)], axis=0)
+
+    fused_by_mask: Tuple[jax.Array, ...] = ()
+    nvalid_by_mask: Tuple[jax.Array, ...] = ()
+    if not geometry_only:
+        pairs = [fused_platform_table(dp.stats, m, solver_dtype=solver_dtype,
+                                      order=order, pad_to=nb * s)
+                 for m in masks]
+        fused_by_mask = tuple(f.reshape(nb, s, -1) for f, _ in pairs)
+        nvalid_by_mask = tuple(nv.reshape(nb, s) for _, nv in pairs)
 
     obs_wb = obs_w_s.reshape(nb, s, 3)
     mask_b = rec_mask.reshape(nb, s)
@@ -177,8 +186,8 @@ def _cycle_blocking(dp, tables, wide_h, wide_v, block_size,
     radii = jnp.sqrt(jnp.max(jnp.where(mask_b, d2, 0.0), axis=1))
     return CycleBlocking(
         xyz_raw=obs_raw_s,
-        fused_by_mask=tuple(f.reshape(nb, s, -1) for f in fused),
-        nvalid=nvalid.reshape(nb, s),
+        fused_by_mask=fused_by_mask,
+        nvalid_by_mask=nvalid_by_mask,
         rec_mask=mask_b,
         centers_w=centers,
         radii_w=radii,
@@ -193,8 +202,15 @@ def _resolve_plans(
     solver_dtype,
     max_blocks,
     obs_presorted: bool = False,
+    geometry_only: bool = False,
 ) -> List[PlatformPlan]:
-    """Build every active platform's cycle plan (cached where concrete)."""
+    """Build every active platform's cycle plan (cached where concrete).
+
+    ``geometry_only`` (budget planning) skips every fused table: dense
+    platforms get empty ``tables`` and bucketed blockings carry only the
+    culling geometry — planning at production radar volume must not pay
+    (or even fit) the ~7.5 GB k=96 table.
+    """
     from .bucketed import auto_block_size, default_max_blocks
 
     plans: List[PlatformPlan] = []
@@ -221,15 +237,16 @@ def _resolve_plans(
             dp.xyz, jax.core.Tracer)
         dname = jnp.dtype(solver_dtype).name
         tables = []
-        for m in masks:
-            key = ("dense", m, dname)
-            t = cache.get(key) if cache is not None else None
-            if t is None:
-                t = platform_dense_tables(dp.stats, m,
-                                          solver_dtype=solver_dtype)
-                if storable:
-                    cache[key] = t
-            tables.append(t)
+        if kind == "dense" and not geometry_only:
+            for m in masks:
+                key = ("fused", m, dname)
+                t = cache.get(key) if cache is not None else None
+                if t is None:
+                    t = fused_platform_table(dp.stats, m,
+                                             solver_dtype=solver_dtype)
+                    if storable:
+                        cache[key] = t
+                tables.append(t)
         wide_h, wide_v = _wide_metric(st, groups, clients)
         centers = []
         for gi in clients:
@@ -247,11 +264,18 @@ def _resolve_plans(
                 bs = auto_block_size(
                     normalize_coords(dp.xyz, wide_h, wide_v))
             bkey = ("cycle", tuple(masks), dname, wide_h, wide_v, bs,
-                    obs_presorted)
+                    obs_presorted, geometry_only)
             blocking = cache.get(bkey) if cache is not None else None
+            if blocking is None and geometry_only and cache is not None:
+                # a full blocking is a superset of the geometry-only one
+                full = cache.get(bkey[:-1] + (False,))
+                if full is not None:
+                    blocking = full
             if blocking is None:
-                blocking = _cycle_blocking(dp, tables, wide_h, wide_v, bs,
-                                           presorted=obs_presorted)
+                blocking = _cycle_blocking(dp, masks, wide_h, wide_v, bs,
+                                           presorted=obs_presorted,
+                                           solver_dtype=solver_dtype,
+                                           geometry_only=geometry_only)
                 if storable:
                     cache[bkey] = blocking
             if isinstance(mb_req, BucketBudget):
@@ -265,6 +289,26 @@ def _resolve_plans(
             mask_idx=tuple(mask_idx), tables=tuple(tables),
             centers=tuple(centers), blocking=blocking, budget=budget))
     return plans
+
+
+def _materialize_plan(plan: PlatformPlan) -> PlatformPlan:
+    """Force the plan's tables/blocking to materialize BEFORE the chunk loop.
+
+    When the fused tables are built in-program (obs arrays as jit
+    arguments — the production pattern, so multi-GB tables never ship
+    through the compile tunnel as constants), XLA's fusion otherwise
+    inlines the table einsum into every subchunk's candidate-block gather,
+    recomputing table rows inside the loop: measured 6.1x on the bench's
+    dbz leg (1.28 s -> 0.21 s with the barrier).  ``optimization_barrier``
+    pins the producer outside ``lax.map`` without forcing a host sync.
+    """
+    b = jax.lax.optimization_barrier
+    return plan._replace(
+        tables=tuple((b(f), b(nv)) for f, nv in plan.tables),
+        centers=tuple(b(c) for c in plan.centers),
+        blocking=(None if plan.blocking is None
+                  else jax.tree_util.tree_map(b, plan.blocking)),
+    )
 
 
 def _group_r2(q_raw, obs_raw, st, ivar, center):
@@ -304,17 +348,18 @@ def _bucketed_cycle_terms(q_raw, plan, groups, weight_function, solver_dtype):
                 - jnp.sum(keep.astype(jnp.int32)))
 
     obs_c = cb.xyz_raw.reshape(nb, s, 3)[idx].reshape(m * s, 3)
-    nvalid_c = cb.nvalid[idx].reshape(m * s)
     row_mask = (keep[:, None] & cb.rec_mask[idx]).reshape(m * s)
     fused_c = {mi: cb.fused_by_mask[mi][idx].reshape(m * s, -1)
                for mi in set(plan.mask_idx)}
+    nvalid_c = {mi: cb.nvalid_by_mask[mi][idx].reshape(m * s)
+                for mi in set(plan.mask_idx)}
 
     outs = []
     for ci, gi in enumerate(plan.clients):
         iv = groups[gi].ivars[0]
         r2 = _group_r2(q_raw, obs_c, st, iv, plan.centers[ci])
         outs.append(terms_from_r2(
-            r2, fused_c[plan.mask_idx[ci]], nvalid_c,
+            r2, fused_c[plan.mask_idx[ci]], nvalid_c[plan.mask_idx[ci]],
             n_max=st.max_lz_pts, weight_function=weight_function,
             solver_dtype=solver_dtype, row_mask=row_mask))
     return outs, overflow
@@ -327,10 +372,9 @@ def _dense_cycle_terms(q_raw, plan, groups, weight_function, solver_dtype):
     for ci, gi in enumerate(plan.clients):
         iv = groups[gi].ivars[0]
         r2 = _group_r2(q_raw, plan.dp.xyz, st, iv, plan.centers[ci])
-        t = plan.tables[plan.mask_idx[ci]]
-        fused = jnp.concatenate([t.bgbg, t.ombg], axis=-1)
+        fused, nvalid = plan.tables[plan.mask_idx[ci]]
         outs.append(terms_from_r2(
-            r2, fused, t.nvalid, n_max=st.max_lz_pts,
+            r2, fused, nvalid, n_max=st.max_lz_pts,
             weight_function=weight_function, solver_dtype=solver_dtype))
     return outs
 
@@ -379,7 +423,7 @@ def plan_cycle_budgets(
 
     plans = _resolve_plans(platforms, groups, method=method,
                            solver_dtype=solver_dtype, max_blocks=None,
-                           obs_presorted=obs_presorted)
+                           obs_presorted=obs_presorted, geometry_only=True)
     perm = _cycle_point_perm(q, plans, point_order)
     if perm is not None:
         q = q[perm]
@@ -466,6 +510,7 @@ def update_points_cycle(
     plans = _resolve_plans(platforms, groups, method=method,
                            solver_dtype=solver_dtype, max_blocks=max_blocks,
                            obs_presorted=obs_presorted)
+    plans = [_materialize_plan(p) for p in plans]
     n_groups = len(groups)
 
     perm = _cycle_point_perm(q, plans, point_order)
@@ -513,17 +558,20 @@ def update_points_cycle(
         a = jnp.swapaxes(a, 0, 1).reshape(n_groups, qc.shape[0], k, k)
         g = jnp.swapaxes(g, 0, 1).reshape(n_groups, qc.shape[0], k)
         cnt = jnp.swapaxes(cnt, 0, 1).reshape(n_groups, qc.shape[0])
-        xa_cols = []
-        resid = jnp.zeros((), jnp.float32)
-        for gi, grp in enumerate(groups):
-            xa_g, sdiag = letkf_solve_group_from_normal(
-                a[gi], g[gi], xbc[:, col0[gi]:col0[gi + 1], :],
-                grp.inflats, cnt[gi] > 0,
-                rtpp_alpha=grp.rtpp_alpha, rtps_alpha=grp.rtps_alpha,
-                solver_dtype=solver_dtype, return_diagnostics=True)
-            resid = jnp.maximum(resid, sdiag["ns_residual"])
-            xa_cols.append(xa_g)
-        return jnp.concatenate(xa_cols, axis=1), jnp.sum(ovf), resid
+        # solves for ALL groups, NS launches stacked by inflation value
+        # (two launches per chunk under the production namelist instead of
+        # six; see solver.letkf_solve_cycle_from_normal)
+        xa_cols, sdiag = letkf_solve_cycle_from_normal(
+            [a[gi] for gi in range(n_groups)],
+            [g[gi] for gi in range(n_groups)],
+            [xbc[:, col0[gi]:col0[gi + 1], :] for gi in range(n_groups)],
+            [grp.inflats for grp in groups],
+            [cnt[gi] > 0 for gi in range(n_groups)],
+            rtpp_alpha_groups=[grp.rtpp_alpha for grp in groups],
+            rtps_alpha_groups=[grp.rtps_alpha for grp in groups],
+            solver_dtype=solver_dtype, return_diagnostics=True)
+        return (jnp.concatenate(xa_cols, axis=1), jnp.sum(ovf),
+                sdiag["ns_residual"])
 
     xa, ovf, resid = jax.lax.map(
         body,

@@ -86,6 +86,80 @@ class DenseTables(NamedTuple):
     nvalid: jax.Array
 
 
+def fuse_tables(tables: DenseTables) -> jax.Array:
+    """Interleave (bgbg | ombg) into the canonical fused ``[R, k*(k+1)]``.
+
+    Record r's row is the ``k x (k+1)`` matrix ``[BGBG_r | ombg_r]``
+    flattened row-major (column ``k`` of each k-row holds the ombg
+    element).  :func:`terms_from_r2` splits along the same layout, and
+    :func:`fused_platform_table` emits it directly — keeping ONE layout
+    everywhere lets the memory-critical paths skip this copy entirely.
+    """
+    r, kk = tables.bgbg.shape
+    k = tables.ombg.shape[-1]
+    assert kk == k * k, (tables.bgbg.shape, tables.ombg.shape)
+    return jnp.concatenate(
+        [tables.bgbg.reshape(r, k, k), tables.ombg[:, :, None]],
+        axis=-1).reshape(r, k * (k + 1))
+
+
+def fused_platform_table(
+    stats: ObsStats,
+    assim_v: Tuple[bool, ...],
+    *,
+    solver_dtype=jnp.float32,
+    order=None,
+    pad_to: int | None = None,
+):
+    """Build the canonical fused table directly from per-record stats.
+
+    Returns ``(fused [P, k*(k+1)], nvalid [P])`` with ``P = pad_to or R``,
+    in :func:`fuse_tables`' interleaved layout.  ``order`` (optional
+    ``[R]`` int) reorders records and ``pad_to`` zero-pads — both applied
+    to the SMALL ``[V, R, k]`` stats *before* the table einsum, so the only
+    ``O(R * k^2)`` array ever materialized is the returned table itself.
+    At production radar volume with k=96 the table is ~7.5 GB; the
+    table-level gather/concat route would transiently double that, which
+    is the difference between fitting one chip's HBM and not (the round-4
+    ``prod_shape`` RESOURCE_EXHAUSTED).
+    """
+    active = jnp.asarray(assim_v, bool)
+    if stats.omm.shape[0] != active.shape[0]:
+        raise ValueError(
+            f"assim mask has {active.shape[0]} vars, stats have "
+            f"{stats.omm.shape[0]}")
+    valid = stats.valid & active[:, None]                      # [V, R]
+    err = stats.err.astype(solver_dtype)
+    e = jnp.where(valid, 1.0 / (err * err), 0.0)               # [V, R]
+    bg = stats.bg.astype(solver_dtype)                         # [V, R, K]
+    omm = stats.omm.astype(solver_dtype)                       # [V, R]
+    nvalid = jnp.sum(valid, axis=0, dtype=jnp.int32)           # [R]
+    if order is not None:
+        e = e[:, order]
+        bg = bg[:, order]
+        omm = omm[:, order]
+        nvalid = nvalid[order]
+    if pad_to is not None:
+        pad = pad_to - e.shape[1]
+        if pad:
+            v = e.shape[0]
+            k = bg.shape[-1]
+            e = jnp.concatenate(
+                [e, jnp.zeros((v, pad), e.dtype)], axis=1)
+            bg = jnp.concatenate(
+                [bg, jnp.zeros((v, pad, k), bg.dtype)], axis=1)
+            omm = jnp.concatenate(
+                [omm, jnp.zeros((v, pad), omm.dtype)], axis=1)
+            nvalid = jnp.concatenate(
+                [nvalid, jnp.zeros((pad,), nvalid.dtype)], axis=0)
+    ebg = e[..., None] * bg
+    bg_ext = jnp.concatenate([bg, omm[..., None]], axis=-1)    # [V, P, k+1]
+    fused = jnp.einsum("vrk,vrl->rkl", ebg, bg_ext,
+                       precision=_HI, preferred_element_type=solver_dtype)
+    k = bg.shape[-1]
+    return fused.reshape(-1, k * (k + 1)), nvalid
+
+
 def platform_dense_tables(
     stats: ObsStats,
     assim_v: Tuple[bool, ...],
@@ -181,7 +255,8 @@ def terms_from_r2(
 
     Args:
       r2:     ``[C, R]`` squared normalized distances.
-      fused:  ``[R, k*k + k]`` concatenated (bgbg | ombg) tables.
+      fused:  ``[R, k*(k+1)]`` interleaved (bgbg | ombg) rows
+              (:func:`fuse_tables` / :func:`fused_platform_table` layout).
       nvalid: ``[R]`` accepted-obs count per record.
       row_mask: optional ``[R]`` bool — False rows can never contribute
         (the bucketed path uses it to kill padded/non-candidate blocks).
@@ -219,8 +294,9 @@ def terms_from_r2(
                 if jnp.dtype(solver_dtype) == jnp.float32 else _HI)
     out = jnp.dot(gm, fused.astype(solver_dtype),
                   precision=acc_prec, preferred_element_type=solver_dtype)
-    a_obs = out[:, :k * k].reshape(c, k, k)
-    g = out[:, k * k:]
+    out3 = out.reshape(c, k, k + 1)
+    a_obs = out3[:, :, :k]
+    g = out3[:, :, k]
     count = jnp.dot(sel.astype(jnp.float32),
                     nvalid.astype(jnp.float32),
                     precision=_HI,
@@ -269,8 +345,7 @@ def dense_platform_terms(
         jnp.sum(qc * qc, axis=-1, keepdims=True)
         + jnp.sum(oc * oc, axis=-1)[None, :] - 2.0 * dots, 0.0)   # [C, R]
 
-    fused = jnp.concatenate(
-        [tables.bgbg, tables.ombg], axis=-1)                       # [R, kk+k]
+    fused = fuse_tables(tables)                                    # [R, kk+k]
     return terms_from_r2(
         r2, fused, tables.nvalid, n_max=n_max,
         weight_function=weight_function, r2_cap=r2_cap,

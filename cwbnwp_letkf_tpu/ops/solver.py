@@ -265,17 +265,26 @@ def ns_invsqrt_refined(a_obs, inflat, *, refine_steps: int = 1):
     fast f32 (the packed Pallas kernel where supported) and ONLY a final
     Newton step runs in emulated f64:
 
-        X_0 = Z_f32 (cast),   X' = 1.5 X - 0.5 X (A X^2)      [3 f64 gemms]
+        X_0 = Z_f32 (cast),   X' = 1.5 X - 0.5 X (A X^2)      [3 df64 gemms]
 
     One step squares the residual: with ``||I - A Z_f32^2|| ~ sqrt(eps32)``
     scale errors, the refined ``X`` lands at ~eps32^2 ~ 1e-12 relative —
-    f64-grade — for 3 emulated-f64 matmuls instead of an entire f64
+    f64-grade — for 3 double-word matmuls instead of an entire f64
     eigensolve.  (The uncoupled Newton-Schulz form is unstable over MANY
     steps; a single step from an already-converged iterate is in its
     stable regime, Higham, Functions of Matrices ch. 6.)
 
+    The f64 matmuls run through the Ozaki error-free-transformation
+    scheme (ops/df64.py): exact bf16 MXU passes instead of XLA's software
+    f64 emulation — this is what makes the refinement CHEAPER than the
+    emulated-f64 eigensolve rather than merely equal to it (measured
+    round 4: plain-einsum refinement 11.7k pts/s vs the f64 eigh path's
+    13.1k — the emulated-f64 products dominated both).
+
     Returns ``(z64, resid)`` with resid the f32 stage's certificate.
     """
+    from .df64 import ozaki_matmul
+
     a32 = jnp.asarray(a_obs).astype(jnp.float32)
     z32, resid = _ns_z(a32, float(inflat))
     k = a32.shape[-1]
@@ -285,8 +294,7 @@ def ns_invsqrt_refined(a_obs, inflat, *, refine_steps: int = 1):
     x = z32.astype(jnp.float64)
 
     def mm(p, q):
-        return jnp.einsum("bij,bjk->bik", p, q, precision=_HI,
-                          preferred_element_type=jnp.float64)
+        return ozaki_matmul(p, q)
 
     for _ in range(refine_steps):
         x2 = mm(x, x)
@@ -315,9 +323,12 @@ def letkf_solve_group_refined(
     Same contract as :func:`letkf_solve_group_from_normal` with
     ``solver_dtype=float64``, but the eigensolve-equivalent runs as
     f32-NS + one f64 Newton step; weight application and RTPP/RTPS run in
-    f64.  Accepts f32 or f64 normal terms (f64 terms preserve a
-    compensated/accurate accumulation upstream).
+    f64 (the matmuls through the Ozaki double-word scheme, ops/df64.py —
+    MXU passes, not software-f64).  Accepts f32 or f64 normal terms (f64
+    terms preserve a compensated/accurate accumulation upstream).
     """
+    from .df64 import ozaki_matmul, ozaki_matvec
+
     out_dtype = xb.dtype
     f64 = jnp.float64
     xb = jnp.asarray(xb).astype(f64)
@@ -336,11 +347,11 @@ def letkf_solve_group_refined(
         z, r_val = ns_invsqrt_refined(a_obs, val,
                                       refine_steps=refine_steps)
         resid = jnp.maximum(resid, r_val.astype(jnp.float32))
-        zg = jnp.einsum("bij,bj->bi", z, g, precision=_HI,
-                        preferred_element_type=f64)
+        zg = ozaki_matvec(z, g)
         xp = xb_prime[:, jnp.asarray(vis), :]
-        u = jnp.einsum("bij,bvj->bvi", z, xp, precision=_HI,
-                       preferred_element_type=f64)
+        # u[b,v,i] = sum_j z[b,i,j] xp[b,v,j]  (Z symmetric after refine)
+        u = jnp.swapaxes(
+            ozaki_matmul(z, jnp.swapaxes(xp, -1, -2)), -1, -2)
         s = jnp.sum(zg[:, None, :] * u, axis=-1, keepdims=True)
         xa_sub = xb_mean[:, jnp.asarray(vis), :] + s + sqkm1 * u
         for j, vi in enumerate(vis):
@@ -671,6 +682,116 @@ def letkf_solve_group_from_normal(
     if return_diagnostics:
         return xa, {"ns_residual": resid}
     return xa
+
+
+def letkf_solve_cycle_from_normal(
+    a_groups,
+    g_groups,
+    xb_groups,
+    inflats_groups,
+    has_obs_groups,
+    *,
+    rtpp_alpha_groups,
+    rtps_alpha_groups,
+    solver_dtype=jnp.float32,
+    return_diagnostics: bool = False,
+):
+    """Several groups' solves with the NS iterations STACKED by inflation.
+
+    The fused cycle (ops/cycle.py) solves G variable groups per point
+    chunk; called per group, that is one ``_ns_z`` launch per (group,
+    distinct inflat) pair — six per chunk under the production namelist.
+    The Newton-Schulz kernel is launch/VMEM-bound at chunk-sized batches
+    (ops/pallas_ns.py), so batching all groups that share an inflation
+    value into ONE iteration (``A`` differs per group, but NS treats the
+    batch axis uniformly) cuts the launches to one per DISTINCT value —
+    two under the production namelist (1.6 dynamics / 1.1 moisture,
+    input.nml:160-170) — at 2.5-3x the per-launch batch.
+
+    Args: per-group lists, each entry exactly the corresponding argument
+    of :func:`letkf_solve_group_from_normal`.  Non-NS backends (float64,
+    eigh) fall back to per-group solves unchanged.
+
+    Returns a list of per-group ``xa`` (+ shared diagnostics dict).
+    """
+    n_groups = len(a_groups)
+    if not _use_ns(jnp.asarray(a_groups[0]).astype(solver_dtype)):
+        outs = []
+        resid = jnp.zeros((), jnp.float32)
+        for gi in range(n_groups):
+            xa, d = letkf_solve_group_from_normal(
+                a_groups[gi], g_groups[gi], xb_groups[gi],
+                inflats_groups[gi], has_obs_groups[gi],
+                rtpp_alpha=rtpp_alpha_groups[gi],
+                rtps_alpha=rtps_alpha_groups[gi],
+                solver_dtype=solver_dtype, return_diagnostics=True)
+            resid = jnp.maximum(resid, d["ns_residual"])
+            outs.append(xa)
+        if return_diagnostics:
+            return outs, {"ns_residual": resid}
+        return outs
+
+    k = xb_groups[0].shape[-1]
+    sqkm1 = jnp.sqrt(jnp.asarray(k - 1, solver_dtype))
+    a_gs = [jnp.asarray(a).astype(solver_dtype) for a in a_groups]
+    g_gs = [jnp.asarray(g).astype(solver_dtype) for g in g_groups]
+    xb_gs = [jnp.asarray(x).astype(solver_dtype) for x in xb_groups]
+    means = [jnp.mean(x, axis=-1, keepdims=True) for x in xb_gs]
+    primes = [x - m for x, m in zip(xb_gs, means)]
+
+    # (group, distinct-inflat) pairs, keyed by the static float value
+    by_val = {}
+    for gi, inflats in enumerate(inflats_groups):
+        seen = {}
+        for vi, val in enumerate(inflats):
+            seen.setdefault(float(val), []).append(vi)
+        for val, vis in seen.items():
+            by_val.setdefault(val, []).append((gi, vis))
+
+    resid = jnp.zeros((), jnp.float32)
+    xa_cols = [[None] * len(inflats_groups[gi]) for gi in range(n_groups)]
+    for val, members in by_val.items():
+        astack = (a_gs[members[0][0]] if len(members) == 1
+                  else jnp.concatenate([a_gs[gi] for gi, _ in members], 0))
+        z_all, r_val = _ns_z(astack, val)
+        resid = jnp.maximum(resid, r_val.astype(jnp.float32))
+        off = 0
+        for gi, vis in members:
+            b = a_gs[gi].shape[0]
+            z = jax.lax.slice_in_dim(z_all, off, off + b, axis=0)
+            off += b
+            zg = jnp.einsum("bij,bj->bi", z, g_gs[gi], precision=_HI,
+                            preferred_element_type=solver_dtype)
+            xp = primes[gi][:, jnp.asarray(vis), :]
+            u = jnp.einsum("bij,bvj->bvi", z, xp, precision=_HI,
+                           preferred_element_type=solver_dtype)
+            s = jnp.sum(zg[:, None, :] * u, axis=-1, keepdims=True)
+            xa_sub = means[gi][:, jnp.asarray(vis), :] + s + sqkm1 * u
+            for j, vi in enumerate(vis):
+                xa_cols[gi][vi] = xa_sub[:, j, :]
+
+    outs = []
+    for gi in range(n_groups):
+        xa = jnp.stack(xa_cols[gi], axis=1)
+        xb = xb_gs[gi]
+        out_dtype = xb_groups[gi].dtype
+        rtpp = jnp.asarray(rtpp_alpha_groups[gi], solver_dtype)[None, :, None]
+        rtps = jnp.asarray(rtps_alpha_groups[gi], solver_dtype)[None, :, None]
+        xa_mean = jnp.mean(xa, axis=-1, keepdims=True)
+        xa_prime = xa - xa_mean
+        xa_prime = (1.0 - rtpp) * xa_prime + rtpp * primes[gi]
+        xb_std = jnp.sum(primes[gi] * primes[gi], axis=-1, keepdims=True)
+        xa_std = jnp.sum(xa_prime * xa_prime, axis=-1, keepdims=True)
+        xa_std = jnp.maximum(xa_std, jnp.finfo(xa.dtype).tiny)
+        factor = rtps * jnp.sqrt(xb_std / xa_std) - rtps + 1.0
+        xa = xa_mean + xa_prime * factor
+        xa = xa.astype(out_dtype)
+        xa = jnp.where(has_obs_groups[gi][:, None, None], xa,
+                       xb.astype(out_dtype))
+        outs.append(xa)
+    if return_diagnostics:
+        return outs, {"ns_residual": resid}
+    return outs
 
 
 @jax.jit

@@ -182,7 +182,26 @@ def _platform_accumulators(active, kinds, iv, max_blocks, solver_dtype,
             accs.append((dp, on, "bucketed", (bp, mb)))
         else:
             accs.append((dp, on, "dense", tab))
-    return accs
+    return [_materialize_acc(a) for a in accs]
+
+
+def _materialize_acc(acc):
+    """Pin each platform's tables/blocking OUTSIDE the chunk loop.
+
+    When the tables are built in-program from jit-argument obs arrays,
+    XLA otherwise fuses the table einsum into every chunk's candidate
+    gathers, recomputing table rows per chunk (measured 6.1x on the
+    cycle's dbz leg; ops/cycle._materialize_plan is the same fix).  The
+    barrier has no effect when the payload came concrete from the cache.
+    """
+    dp, on, kind, payload = acc
+    b = jax.lax.optimization_barrier
+    if kind == "bucketed":
+        bp, mb = payload
+        payload = (jax.tree_util.tree_map(b, bp), mb)
+    elif kind == "dense" and payload is not None:
+        payload = jax.tree_util.tree_map(b, payload)
+    return (dp, on, kind, payload)
 
 
 def _accumulate_chunk(qc, accs, iv, weight_function, solver_dtype, chunk, k):
