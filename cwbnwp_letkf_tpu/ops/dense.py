@@ -103,6 +103,16 @@ def fuse_tables(tables: DenseTables) -> jax.Array:
         axis=-1).reshape(r, k * (k + 1))
 
 
+#: record count above which the fused-table einsum runs in row slices.
+#: The einsum's natural output ``[R, k, k+1]`` is TILED: the last dim pads
+#: to 128 lanes (1.3x at k=96) and the reshape to the flat ``[R, k*(k+1)]``
+#: consumer layout is a relayout COPY, so building in one shot keeps BOTH
+#: the padded intermediate and the flat table live (9.2 GB + 7.0 GB at the
+#: production 200k-record k=96 radar volume — the round-4 ``prod_shape``
+#: HBM OOM).  Slicing bounds the padded transient to one slice.
+_TABLE_ROW_SLICE = 16384
+
+
 def fused_platform_table(
     stats: ObsStats,
     assim_v: Tuple[bool, ...],
@@ -116,12 +126,14 @@ def fused_platform_table(
     Returns ``(fused [P, k*(k+1)], nvalid [P])`` with ``P = pad_to or R``,
     in :func:`fuse_tables`' interleaved layout.  ``order`` (optional
     ``[R]`` int) reorders records and ``pad_to`` zero-pads — both applied
-    to the SMALL ``[V, R, k]`` stats *before* the table einsum, so the only
-    ``O(R * k^2)`` array ever materialized is the returned table itself.
-    At production radar volume with k=96 the table is ~7.5 GB; the
-    table-level gather/concat route would transiently double that, which
-    is the difference between fitting one chip's HBM and not (the round-4
-    ``prod_shape`` RESOURCE_EXHAUSTED).
+    to the SMALL ``[V, R, k]`` stats *before* the table einsum, and the
+    einsum itself runs in row slices of ``_TABLE_ROW_SLICE`` (see there),
+    so the only ``O(R * k^2)`` array ever materialized is the returned
+    table itself.  At production radar volume with k=96 the table is
+    ~7.0 GB; both the table-level gather/concat route and the one-shot
+    einsum transiently double that, which is the difference between
+    fitting one chip's HBM and not (the round-4 ``prod_shape``
+    RESOURCE_EXHAUSTED).
     """
     active = jnp.asarray(assim_v, bool)
     if stats.omm.shape[0] != active.shape[0]:
@@ -154,9 +166,29 @@ def fused_platform_table(
                 [nvalid, jnp.zeros((pad,), nvalid.dtype)], axis=0)
     ebg = e[..., None] * bg
     bg_ext = jnp.concatenate([bg, omm[..., None]], axis=-1)    # [V, P, k+1]
+    k = bg.shape[-1]
+    p = ebg.shape[1]
+    # largest power-of-two slice count that divides P (bucketed callers pad
+    # P to a block-size multiple, so small powers of two always divide; an
+    # indivisible P falls back to the one-shot einsum — small tables only)
+    n_slices = 1
+    while p // n_slices > _TABLE_ROW_SLICE and p % (2 * n_slices) == 0:
+        n_slices *= 2
+    if n_slices > 1:
+        rows = p // n_slices
+
+        def one_slice(args):
+            eb, bx = args                                # [V, rows, k(+1)]
+            f = jnp.einsum("vrk,vrl->rkl", eb, bx, precision=_HI,
+                           preferred_element_type=solver_dtype)
+            return f.reshape(rows, k * (k + 1))
+
+        fused = jax.lax.map(one_slice, (
+            jnp.moveaxis(ebg.reshape(-1, n_slices, rows, k), 0, 1),
+            jnp.moveaxis(bg_ext.reshape(-1, n_slices, rows, k + 1), 0, 1)))
+        return fused.reshape(p, k * (k + 1)), nvalid
     fused = jnp.einsum("vrk,vrl->rkl", ebg, bg_ext,
                        precision=_HI, preferred_element_type=solver_dtype)
-    k = bg.shape[-1]
     return fused.reshape(-1, k * (k + 1)), nvalid
 
 

@@ -51,9 +51,24 @@ _BITS = 8
 
 
 def _pow2_scale(m):
-    """Smallest power of two >= m (elementwise, exact); 1.0 where m == 0."""
-    _, e = jnp.frexp(m)            # m = mant * 2^e, mant in [0.5, 1)
-    s = jnp.ldexp(jnp.ones_like(m), e)
+    """Smallest power of two >= m (elementwise, exact); 1.0 where m == 0.
+
+    frexp on a float64 operand lowers to an s64 bitcast-convert, which
+    XLA's X64-rewriting pass on TPU cannot legalize (the round-4
+    f64_refined chip failure).  Instead the exponent comes from an f32
+    frexp (s32 bitcasts are supported) and two EXACT f64 comparison steps
+    absorb both the f32 rounding of ``m`` and frexp's mant=0.5 convention
+    at exact powers of two (which would otherwise return ``2m`` and
+    silently spend one bit of slicing resolution).
+    """
+    m32 = jnp.clip(m, jnp.finfo(jnp.float32).tiny,
+                   jnp.finfo(jnp.float32).max).astype(jnp.float32)
+    _, e = jnp.frexp(m32)          # m32 = mant * 2^e, mant in [0.5, 1)
+    s = jnp.ldexp(jnp.ones_like(m32), e).astype(m.dtype)
+    # exact corrections: halve if the next power down still covers m
+    # (m an exact power of two), double if f32 rounding under-shot
+    s = jnp.where(0.5 * s >= m, 0.5 * s, s)
+    s = jnp.where(s < m, 2.0 * s, s)
     return jnp.where(m > 0, s, jnp.ones_like(m))
 
 
@@ -82,6 +97,12 @@ def ozaki_matmul(a, b, *, slices: int = 6):
     """
     a = jnp.asarray(a, jnp.float64)
     b = jnp.asarray(b, jnp.float64)
+    if a.ndim != b.ndim:
+        # the dot_general batch dims below assume equal rank; catch it here
+        # with a readable message instead of an opaque dimension_numbers
+        # trace error (broadcast b yourself if you want [B,M,K] @ [K,N])
+        raise ValueError(
+            f"operands must have equal rank, got {a.shape} @ {b.shape}")
     k = a.shape[-1]
     if b.shape[-2] != k:
         raise ValueError(f"contraction mismatch: {a.shape} @ {b.shape}")

@@ -70,9 +70,36 @@ def pack_width(k: int) -> int:
     return max(1, _LANES // k)
 
 
+def _manual_axis_names():
+    """Names of the enclosing shard_map manual mesh axes (empty outside).
+
+    Uses the private ``jax._src.core.get_axis_env()`` probe — no public API
+    exposes this.  Returns ``None`` when the probe itself is broken (a JAX
+    upgrade moved the symbol): :func:`ns_invsqrt_pallas` then raises a
+    RuntimeError, which ops/solver._ns_z catches to fall back to the XLA
+    NS path with a warning — a graceful degradation instead of an
+    import/trace-time crash of the production solve.
+    """
+    try:
+        from jax._src import core as _core
+
+        return tuple(_core.get_axis_env().axis_sizes)
+    except Exception:  # pragma: no cover - exercised via monkeypatch test
+        return None
+
+
 def supports(k: int) -> bool:
-    """The packed kernel needs >= 2 elements per pack to beat XLA."""
-    return pack_width(k) >= 2 and k % 8 == 0
+    """Shapes the kernel handles: k % 8 == 0, one k-block within 128 lanes.
+
+    For k <= 64 the row-of-blocks packing (m >= 2) raises the MXU ceiling
+    ~3x over per-element batching; for 64 < k <= 128 the pack degenerates
+    to m = 1 — no packing win, but the whole iteration stays resident in
+    VMEM (one HBM read of A, one write of Z) where the XLA lowering writes
+    every iterate to HBM.  Measured on the chip at k=96 (the production
+    ensemble size, /root/reference/input.nml:6): see BENCH_r05
+    ``pallas_ns96_per_s`` vs ``ns96_invsqrt_per_s``.
+    """
+    return k % 8 == 0 and k <= 128
 
 
 def _ns_kernel(a_ref, z_ref, err_ref, w_s, z_s, blk_ab, blk_b, c_s,
@@ -215,7 +242,7 @@ def ns_invsqrt_pallas(a_obs, inflat, *, tol: float = 1e-4,
         raise ValueError("pallas NS kernel handles float32 [B, k, k] only")
     b, k, k2 = a.shape
     if k != k2 or not supports(k):
-        raise ValueError(f"unsupported k={k} (need k%8==0 and 2*k<=128)")
+        raise ValueError(f"unsupported k={k} (need k%8==0 and k<=128)")
     m = pack_width(k)
     s = m * k
     # ~768 KB of W state per block at k=40 — deep enough to amortize the
@@ -241,9 +268,13 @@ def ns_invsqrt_pallas(a_obs, inflat, *, tol: float = 1e-4,
     # varying-manual-axes check rejects the trace; per-shard solves vary
     # over every manual axis.  No public API exposes the enclosing manual
     # axes, hence the _src.core probe (empty outside shard_map -> None).
-    from jax._src import core as _core
-
-    vma = frozenset(_core.get_axis_env().axis_sizes) or None
+    axes = _manual_axis_names()
+    if axes is None:
+        raise RuntimeError(
+            "jax._src.core.get_axis_env() probe unavailable (JAX internals "
+            "moved?): cannot declare manual-axis variance for the packed NS "
+            "kernel; use the XLA NS path")
+    vma = frozenset(axes) or None
     z, err = pl.pallas_call(
         kernel,
         grid=(nb,),

@@ -8,7 +8,7 @@ run on hardware.  This script builds a synthetic production-grouped WRF
 case on disk (member NetCDF files + GTS omboma text + VR radar text), runs
 the REAL streaming CLI on the chip, and writes its metrics JSON — per-group
 walls, ``load_s`` (host I/O hidden behind compute), bucketed overflow, NS
-residuals — to ``TPU_CLI_METRICS_r04.json`` at the repo root for the
+residuals — to ``TPU_CLI_METRICS_r05.json`` at the repo root for the
 committed record.
 
     timeout 1400 python examples/tpu_cli_drive.py
@@ -160,7 +160,7 @@ def main():
         "mode": "--stream (one variable group resident; pipelined "
                 "load->compute->store)",
     }
-    out_path = os.path.join(repo, "TPU_CLI_METRICS_r04.json")
+    out_path = os.path.join(repo, "TPU_CLI_METRICS_r05.json")
     with open(out_path, "w") as fh:
         json.dump(metrics, fh, indent=1)
         fh.write("\n")

@@ -187,3 +187,31 @@ def test_accum_precision_knob():
     # ordering weakly: highest must never be WORSE than the default
     assert e_hi <= err("high") + 1e-9
     assert e_hi < 1e-5
+
+
+def test_fused_table_sliced_build_matches_oneshot(monkeypatch):
+    """Row-sliced table einsum (the k=96 HBM fix) == one-shot, bit-exact.
+
+    The sliced path bounds the padded [R, k, k+1] einsum transient (the
+    round-4 prod_shape OOM); each slice computes the identical einsum on a
+    row subset, so the result must match the one-shot table exactly.
+    """
+    from cwbnwp_letkf_tpu.ops import dense
+    from cwbnwp_letkf_tpu.ops.whiten import platform_obs_stats
+
+    rng = np.random.default_rng(5)
+    v, r, k = 2, 200, 10
+    stats = platform_obs_stats(
+        rng.normal(0, 1, (v, r)).astype(np.float32),
+        rng.normal(0, 1, (v, r, k)).astype(np.float32),
+        np.full((v, r), 0.7, np.float32),
+        np.zeros((v, r, k), np.int32), (1.0, 1.0), (5.0, 5.0))
+    mask = (True, True)
+    order = np.argsort(rng.random(r))
+    one, nv1 = dense.fused_platform_table(
+        stats, mask, order=jnp.asarray(order), pad_to=256)
+    monkeypatch.setattr(dense, "_TABLE_ROW_SLICE", 64)   # 256 -> 4 slices
+    sliced, nv2 = dense.fused_platform_table(
+        stats, mask, order=jnp.asarray(order), pad_to=256)
+    np.testing.assert_array_equal(np.asarray(one), np.asarray(sliced))
+    np.testing.assert_array_equal(np.asarray(nv1), np.asarray(nv2))

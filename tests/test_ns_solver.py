@@ -160,3 +160,71 @@ def test_refined_group_solve_matches_f64_solve():
     sc = float(np.abs(np.asarray(xa_o)).max())
     np.testing.assert_allclose(np.asarray(xa_r), np.asarray(xa_o),
                                rtol=0, atol=1e-6 * sc)
+
+
+def test_cycle_stacked_ns_matches_pergroup():
+    """The stacked-NS branch of letkf_solve_cycle_from_normal per group.
+
+    CPU CI otherwise never exercises it (_use_ns is False on the cpu
+    backend, so test_cycle.py only covers the per-group eigh fallback);
+    forcing the backend guards stacked-vs-per-group equivalence against
+    regression (ADVICE r4 #1): mixed inflation values within and across
+    groups, RTPP/RTPS on, and has_obs=False rows.
+    """
+    rng = np.random.default_rng(7)
+    k = 16
+    solver.set_eigh_backend("ns")
+    a_gs, g_gs, xb_gs, has_gs = [], [], [], []
+    inflats_gs = (((k - 1) / 1.6, (k - 1) / 1.6),
+                  ((k - 1) / 1.1,),
+                  ((k - 1) / 1.1, (k - 1) / 1.6, (k - 1) / 1.3))
+    rtpp_gs = ((0.95, 0.0), (0.9,), (0.0, 0.95, 0.5))
+    rtps_gs = ((0.0, 0.95), (0.95,), (0.95, 0.0, 0.5))
+    for gi, inflats in enumerate(inflats_gs):
+        b = 40 + 16 * gi
+        a, g = _normal_case(rng, b, k, 30 + 10 * gi)
+        a_gs.append(a)
+        g_gs.append(g)
+        xb_gs.append(jnp.asarray(
+            rng.standard_normal((b, len(inflats), k)).astype(np.float32)))
+        has_gs.append(jnp.asarray(rng.random(b) > 0.25))
+
+    outs, diag = solver.letkf_solve_cycle_from_normal(
+        a_gs, g_gs, xb_gs, inflats_gs, has_gs,
+        rtpp_alpha_groups=rtpp_gs, rtps_alpha_groups=rtps_gs,
+        return_diagnostics=True)
+    assert float(diag["ns_residual"]) < 5e-4
+    for gi in range(len(inflats_gs)):
+        expect = np.asarray(solver.letkf_solve_group_from_normal(
+            a_gs[gi], g_gs[gi], xb_gs[gi], inflats_gs[gi], has_gs[gi],
+            rtpp_alpha=rtpp_gs[gi], rtps_alpha=rtps_gs[gi]))
+        np.testing.assert_allclose(
+            np.asarray(outs[gi]), expect, rtol=0,
+            atol=5e-5 * max(np.abs(expect).max(), 1.0),
+            err_msg=f"group {gi}")
+
+
+def test_pallas_probe_failure_falls_back_to_xla(monkeypatch):
+    """A broken jax._src axis-env probe must degrade, not crash (r4 weak #5).
+
+    Simulates a JAX upgrade moving the private symbol: _manual_axis_names
+    returns None, ns_invsqrt_pallas raises RuntimeError, and _ns_z falls
+    back to the XLA Newton-Schulz path with a RuntimeWarning.
+    """
+    import warnings
+
+    from cwbnwp_letkf_tpu.ops import pallas_ns
+
+    monkeypatch.setattr(pallas_ns, "_manual_axis_names", lambda: None)
+    monkeypatch.setattr(solver, "_NS_IMPL", "pallas")
+    rng = np.random.default_rng(8)
+    a_obs, _ = _normal_case(rng, 16, 8, 20)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        z, resid = solver._ns_z(a_obs, 7.0 / 1.1)
+    assert any("falling back to XLA Newton-Schulz" in str(w.message)
+               for w in caught)
+    a = np.asarray(a_obs, np.float64) + (7.0 / 1.1) * np.eye(8)
+    zz = np.asarray(z, np.float64)
+    res = np.einsum("bij,bjk,bkl->bil", zz, a, zz) - np.eye(8)
+    assert np.abs(res).max() < 5e-4
