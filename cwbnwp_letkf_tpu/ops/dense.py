@@ -168,12 +168,18 @@ def fused_platform_table(
     bg_ext = jnp.concatenate([bg, omm[..., None]], axis=-1)    # [V, P, k+1]
     k = bg.shape[-1]
     p = ebg.shape[1]
-    # largest power-of-two slice count that divides P (bucketed callers pad
-    # P to a block-size multiple, so small powers of two always divide; an
-    # indivisible P falls back to the one-shot einsum — small tables only)
+    # smallest slice count with rows | P and rows % 8 == 0: sublane-aligned
+    # rows make both the [n_slices, rows, F] -> [P, F] flatten and the
+    # caller's block reshape exact bitcasts — XLA otherwise inserts a
+    # table-sized relayout copy, which at the k=96 production radar volume
+    # is 7 GB of extra HBM residency (the second round of the prod_shape
+    # OOM).  No aligned divisor (small/odd P) -> one-shot einsum.
     n_slices = 1
-    while p // n_slices > _TABLE_ROW_SLICE and p % (2 * n_slices) == 0:
-        n_slices *= 2
+    if p > _TABLE_ROW_SLICE:
+        for n in range(-(-p // _TABLE_ROW_SLICE), min(p, 1024) + 1):
+            if p % n == 0 and (p // n) % 8 == 0:
+                n_slices = n
+                break
     if n_slices > 1:
         rows = p // n_slices
 

@@ -89,17 +89,20 @@ def _manual_axis_names():
 
 
 def supports(k: int) -> bool:
-    """Shapes the kernel handles: k % 8 == 0, one k-block within 128 lanes.
+    """Dispatch gate: k % 8 == 0 and >= 2 elements per pack (k <= 64).
 
-    For k <= 64 the row-of-blocks packing (m >= 2) raises the MXU ceiling
-    ~3x over per-element batching; for 64 < k <= 128 the pack degenerates
-    to m = 1 — no packing win, but the whole iteration stays resident in
-    VMEM (one HBM read of A, one write of Z) where the XLA lowering writes
-    every iterate to HBM.  Measured on the chip at k=96 (the production
-    ensemble size, /root/reference/input.nml:6): see BENCH_r05
-    ``pallas_ns96_per_s`` vs ``ns96_invsqrt_per_s``.
+    The k=96 production ensemble size (/root/reference/input.nml:6) was
+    MEASURED on the chip (round 5) through an m=1 degenerate pack — the
+    whole iteration VMEM-resident, no packing win — and LOST to the XLA
+    NS iteration: 148,795 vs 170,455 solves/s at [1024, 96, 96].  At
+    k=96 the XLA batched gemm already runs at (96/128)^2 = 56% pad
+    efficiency (~49% of the padded-f32 ceiling measured), so the kernel's
+    remaining edge (VMEM residency) is smaller than its per-pack
+    loop/weight-load overhead.  k=96 therefore takes the XLA NS path by
+    evidence, not omission; the kernel dispatches only where the
+    row-of-blocks packing (m >= 2) pays: k <= 64.
     """
-    return k % 8 == 0 and k <= 128
+    return pack_width(k) >= 2 and k % 8 == 0
 
 
 def _ns_kernel(a_ref, z_ref, err_ref, w_s, z_s, blk_ab, blk_b, c_s,
@@ -168,31 +171,146 @@ def _ns_kernel(a_ref, z_ref, err_ref, w_s, z_s, blk_ab, blk_b, c_s,
     # The block's stopping residual is accumulated inside the pack loop
     # (max over packs of this step's |W' - I|), reproducing the XLA path's
     # while-on-residual semantics at block granularity.
-    def step2(state):
+    #
+    # (Round-5 experiment, REVERTED: a manual bf16_3x growth phase — hi/lo
+    # significand split + three single-pass bf16 dots, since Mosaic's dot
+    # lowering accepts only DEFAULT and HIGHEST — measured SLOWER than the
+    # plain HIGHEST iteration on the chip: 631,944 vs 722,180 solves/s at
+    # [4096, 40, 40].  The kernel is weight-load/VPU-bound at these matmul
+    # shapes, not pass-count-bound, so halving MXU passes loses to the
+    # extra per-dot fills and the split conversions.)
+    def make_step(mm):
+        def step2(state):
+            it, _ = state
+
+            def one_pack(p, _):
+                rows = pl.ds(p * k_i, k)
+                w = w_s[rows, :]
+                t = 1.5 * eye_h - 0.5 * w
+                for e in range(m):
+                    cols = slice(e * k, (e + 1) * k)
+                    blk_ab[pl.ds(e * k, k), cols] = w[:, cols]
+                    blk_ab[pl.ds(e * k, k),
+                           _LANES + e * k:_LANES + (e + 1) * k] = (
+                        z_s[rows, cols])
+                out = mm(t, blk_ab[:])
+                z_s[rows, :] = out[:, _LANES:_LANES + s]
+                for e in range(m):
+                    blk_b[pl.ds(e * k, k), e * k:(e + 1) * k] = (
+                        out[:, e * k:(e + 1) * k])
+                w_new = mm(t, blk_b[:])
+                w_s[rows, :] = w_new
+                # running residual of this pack (stored via max into err
+                # scratch is handled by the caller loop below)
+                return jnp.maximum(_, jnp.max(jnp.abs(w_new - eye_h)))
+
+            err = jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_packs),
+                                    one_pack, jnp.zeros((), dt))
+            return it + 1, err
+
+        return step2
+
+    def make_cond(stop_tol, iter_cap):
+        def cond(state):
+            it, err = state
+            return jnp.logical_and(err > stop_tol, it < iter_cap)
+
+        return cond
+
+    def mm_hi(lhs, rhs):
+        return jnp.dot(lhs, rhs, precision=_HI, preferred_element_type=dt)
+
+    _, err = jax.lax.while_loop(
+        make_cond(jnp.asarray(tol, dt), max_iters), make_step(mm_hi),
+        (jnp.zeros((), jnp.int32), jnp.asarray(jnp.inf, dt)))
+    # smallest legal output tile is (8, 128); every entry carries the block
+    # residual and the wrapper max-reduces over all of them
+    err_ref[:] = jnp.broadcast_to(err, err_ref.shape)
+
+    # ---- finalize: z_e = Z_e / sqrt(c_e) ----
+    def out_pack(p, _):
+        for e in range(m):
+            z_e = z_s[pl.ds(p * k_i, k), e * k:(e + 1) * k]
+            z_ref[p * m_i + jnp.asarray(e, jnp.int32)] = (
+                z_e * jax.lax.rsqrt(c_s[p, e]))
+        return _
+
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_packs), out_pack,
+                      jnp.int32(0))
+
+
+def _ns_kernel_rmul(a_ref, z_ref, err_ref, w_s, z_s, blk, lhs, c_s,
+                    *, k: int, m: int, n_packs: int, inflat: float,
+                    tol: float, max_iters: int):
+    """Right-multiplication variant: one shared blkdiag(T) weight per pack.
+
+    Every NS iterate is a polynomial in A, so W, Z and T = (3I - W)/2 all
+    COMMUTE and are symmetric; the step can therefore run entirely as
+    right-multiplications by one block-diagonal weight:
+
+        U  = W T   (= T W),    Z' = Z T   (= T Z)       [one matmul,
+                                                          lhs = [W; Z]]
+        W' = U T   (= T W T)                            [one matmul]
+
+    Two matmuls per pack-iteration against the SAME stationary
+    ``blkdiag(T_e)`` [s, s] tile (vs the trio kernel's three weight-tile
+    loads: [s, 256] round A counts twice), and the streamed LHS carries
+    2k/k rows instead of k — fewer weight fills per useful row, which is
+    what the trio kernel is bound by (the bf16_3x experiment showed
+    pass-count is NOT the binding resource).  Commutativity holds exactly
+    in exact arithmetic; f32 rounding breaks it at O(eps) per step, the
+    same class of drift the coupled iteration already self-corrects.
+
+    Scratch: w_s/z_s as in _ns_kernel; blk [s, s] the shared weight; lhs
+    [2k, s] the stacked stream.
+    """
+    dt = w_s.dtype
+    eye = (jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
+           == jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)).astype(dt)
+    s = m * k
+    eye_h = (jax.lax.broadcasted_iota(jnp.int32, (k, s), 0)
+             == jnp.remainder(
+                 jax.lax.broadcasted_iota(jnp.int32, (k, s), 1),
+                 jnp.asarray(k, jnp.int32))
+             ).astype(dt)
+    blk[:] = jnp.zeros_like(blk)
+
+    m_i = jnp.asarray(m, jnp.int32)
+    k_i = jnp.asarray(k, jnp.int32)
+    k2 = 2 * k
+
+    def init_pack(p, _):
+        for e in range(m):
+            a_e = a_ref[p * m_i + jnp.asarray(e, jnp.int32)] + inflat * eye
+            c = jnp.max(jnp.sum(jnp.abs(a_e), axis=1)) / 1.9
+            c = jnp.maximum(c, jnp.finfo(dt).tiny)
+            c_s[p, e] = c
+            w_s[pl.ds(p * k_i, k), e * k:(e + 1) * k] = a_e / c
+        z_s[pl.ds(p * k_i, k), :] = eye_h
+        return _
+
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_packs), init_pack,
+                      jnp.int32(0))
+
+    def mm(a_, b_):
+        return jnp.dot(a_, b_, precision=_HI, preferred_element_type=dt)
+
+    def step(state):
         it, _ = state
 
-        def one_pack(p, _):
+        def one_pack(p, acc):
             rows = pl.ds(p * k_i, k)
             w = w_s[rows, :]
-            t = 1.5 * eye_h - 0.5 * w
             for e in range(m):
                 cols = slice(e * k, (e + 1) * k)
-                blk_ab[pl.ds(e * k, k), cols] = w[:, cols]
-                blk_ab[pl.ds(e * k, k),
-                       _LANES + e * k:_LANES + (e + 1) * k] = (
-                    z_s[rows, cols])
-            out = jnp.dot(t, blk_ab[:], precision=_HI,
-                          preferred_element_type=dt)
-            z_s[rows, :] = out[:, _LANES:_LANES + s]
-            for e in range(m):
-                blk_b[pl.ds(e * k, k), e * k:(e + 1) * k] = (
-                    out[:, e * k:(e + 1) * k])
-            w_new = jnp.dot(t, blk_b[:], precision=_HI,
-                            preferred_element_type=dt)
+                blk[pl.ds(e * k, k), cols] = 1.5 * eye - 0.5 * w[:, cols]
+            lhs[pl.ds(0, k), :] = w
+            lhs[pl.ds(k, k), :] = z_s[rows, :]
+            out = mm(lhs[:], blk[:])            # [2k, s]: [U; Z']
+            z_s[rows, :] = out[k:k2, :]
+            w_new = mm(out[:k, :], blk[:])      # W' = U T
             w_s[rows, :] = w_new
-            # running residual of this pack (stored via max into err scratch
-            # is handled by the caller loop below)
-            return jnp.maximum(_, jnp.max(jnp.abs(w_new - eye_h)))
+            return jnp.maximum(acc, jnp.max(jnp.abs(w_new - eye_h)))
 
         err = jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_packs), one_pack,
                                 jnp.zeros((), dt))
@@ -203,12 +321,9 @@ def _ns_kernel(a_ref, z_ref, err_ref, w_s, z_s, blk_ab, blk_b, c_s,
         return jnp.logical_and(err > tol, it < max_iters)
 
     _, err = jax.lax.while_loop(
-        cond, step2, (jnp.zeros((), jnp.int32), jnp.asarray(jnp.inf, dt)))
-    # smallest legal output tile is (8, 128); every entry carries the block
-    # residual and the wrapper max-reduces over all of them
+        cond, step, (jnp.zeros((), jnp.int32), jnp.asarray(jnp.inf, dt)))
     err_ref[:] = jnp.broadcast_to(err, err_ref.shape)
 
-    # ---- finalize: z_e = Z_e / sqrt(c_e) ----
     def out_pack(p, _):
         for e in range(m):
             z_e = z_s[pl.ds(p * k_i, k), e * k:(e + 1) * k]
@@ -228,15 +343,17 @@ def ns_invsqrt_pallas(a_obs, inflat, *, tol: float = 1e-4,
     """Batched ``Z ~= (a_obs + inflat*I)^(-1/2)``, packed Pallas kernel.
 
     Drop-in for :func:`ops.solver.ns_invsqrt` on float32 TPU batches with
-    ``supports(k)`` true (k <= 64, k % 8 == 0).  ``packing`` is kept for
-    A/B measurement ("trio" = the packed kernel; there is no unpacked
-    variant worth keeping — XLA already is one).
+    ``supports(k)`` true (k <= 64, k % 8 == 0).  ``packing`` selects the
+    iteration kernel for A/B measurement: ``"trio"`` = shared-LHS
+    row-of-blocks (_ns_kernel), ``"rmul"`` = shared-weight
+    right-multiplication (_ns_kernel_rmul).
 
     Returns ``z`` or ``(z, iters, residual)``; ``iters`` is the max over
     blocks (blocks stop independently), ``residual`` the max final
     ``|W - I|``.
     """
-    del packing
+    if packing not in ("trio", "rmul"):
+        raise ValueError(f"unknown packing {packing!r}")
     a = jnp.asarray(a_obs)
     if a.dtype != jnp.float32 or a.ndim != 3:
         raise ValueError("pallas NS kernel handles float32 [B, k, k] only")
@@ -257,8 +374,24 @@ def ns_invsqrt_pallas(a_obs, inflat, *, tol: float = 1e-4,
             [a, jnp.zeros((b_pad - b, k, k), a.dtype)], axis=0)
 
     kernel = functools.partial(
-        _ns_kernel, k=k, m=m, n_packs=n_packs, inflat=float(inflat),
+        _ns_kernel_rmul if packing == "rmul" else _ns_kernel,
+        k=k, m=m, n_packs=n_packs, inflat=float(inflat),
         tol=float(tol), max_iters=int(max_iters))
+    scratch = [
+        pltpu.VMEM((n_packs * k, s), a.dtype),      # W
+        pltpu.VMEM((n_packs * k, s), a.dtype),      # Z
+    ]
+    if packing == "rmul":
+        scratch += [
+            pltpu.VMEM((s, s), a.dtype),            # shared blkdiag(T)
+            pltpu.VMEM((2 * k, s), a.dtype),        # [W; Z] stream
+        ]
+    else:
+        scratch += [
+            pltpu.VMEM((s, 256), a.dtype),          # round-A RHS
+            pltpu.VMEM((s, s), a.dtype),            # round-B RHS
+        ]
+    scratch.append(pltpu.SMEM((n_packs, m), a.dtype))   # scales
     # index_map zeros must be int32 (same x64 i64-legalization class as
     # ops/pallas_eigh.py:299-303); np.int32, not jnp — index maps must not
     # capture traced constants
@@ -290,13 +423,7 @@ def ns_invsqrt_pallas(a_obs, inflat, *, tol: float = 1e-4,
             jax.ShapeDtypeStruct((b_pad, k, k), a.dtype, vma=vma),
             jax.ShapeDtypeStruct((nb * 8, 128), a.dtype, vma=vma),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((n_packs * k, s), a.dtype),      # W
-            pltpu.VMEM((n_packs * k, s), a.dtype),      # Z
-            pltpu.VMEM((s, 256), a.dtype),              # round-A RHS
-            pltpu.VMEM((s, s), a.dtype),                # round-B RHS
-            pltpu.SMEM((n_packs, m), a.dtype),          # scales
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(a)
     z = z[:b]

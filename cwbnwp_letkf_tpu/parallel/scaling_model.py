@@ -121,6 +121,7 @@ def predict(
     born_sharded: bool = False,
     ici_bytes_s: float = ICI_BYTES_S,
     h2d_bytes_s: float = H2D_BYTES_S,
+    _sweep: bool = True,
 ) -> dict:
     """Predicted cycle time + efficiency per host count (labeled model).
 
@@ -167,4 +168,28 @@ def predict(
             "imbalance": round(imb, 4),
             "efficiency": round(t1 / (chips * t_n), 4),
         }
+    # ICI-bandwidth sensitivity (round-4 verdict weak #7: the 45 GB/s
+    # constant had no committed sweep, so the "hits target" test proved
+    # self-consistency, not headroom).  Efficiency at the LARGEST host
+    # count — the worst case, where the transpose term is biggest relative
+    # to compute — across a bandwidth range, plus the minimum bandwidth at
+    # which the BASELINE >= 85% target still holds.
+    if not _sweep:
+        return out
+    n_max = max(n_hosts)
+    sweep = {}
+    min_bw = None
+    for bw_gbs in (5, 10, 15, 20, 30, 45, 60, 90):
+        alt = predict(b, v_total, k, t_compute_1, obs_payload_bytes,
+                      [n_max], chips_per_host=chips_per_host,
+                      imbalance=imbalance, born_sharded=born_sharded,
+                      ici_bytes_s=bw_gbs * 1e9, h2d_bytes_s=h2d_bytes_s,
+                      _sweep=False)
+        eff = alt["per_host"][str(n_max)]["efficiency"]
+        sweep[str(bw_gbs)] = eff
+        if min_bw is None and eff >= 0.85:
+            min_bw = bw_gbs
+    out["ici_sensitivity_at_max_hosts"] = {
+        "hosts": n_max, "efficiency_by_ici_gbs": sweep,
+        "min_ici_gbs_for_85pct": min_bw}
     return out

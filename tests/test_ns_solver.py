@@ -228,3 +228,31 @@ def test_pallas_probe_failure_falls_back_to_xla(monkeypatch):
     zz = np.asarray(z, np.float64)
     res = np.einsum("bij,bjk,bkl->bil", zz, a, zz) - np.eye(8)
     assert np.abs(res).max() < 5e-4
+
+
+@pytest.mark.parametrize("k", [40, 64])
+def test_pallas_ns_kernel_interpret_matches_xla(k):
+    """Packed kernel (interpret mode) vs the XLA NS iteration.
+
+    Covers the row-of-blocks packing at k=40 (m=3) and the narrowest
+    supported pack k=64 (m=2).  Precision semantics are CPU-flat in
+    interpret mode; the chip gate (examples/tpu_smoke.py) covers real
+    numerics.  (k=96 is deliberately unsupported — the chip-measured m=1
+    experiment lost to XLA NS; see pallas_ns.supports.)
+    """
+    from cwbnwp_letkf_tpu.ops.pallas_ns import ns_invsqrt_pallas, supports
+
+    assert supports(k)
+    rng = np.random.default_rng(10)
+    b = 10   # non-multiple of the block group: exercises zero-padding
+    a_obs, _ = _normal_case(rng, b, k, 2 * k)
+    inflat = (k - 1) / 1.1
+    z_p, iters, resid = ns_invsqrt_pallas(a_obs, inflat, interpret=True,
+                                          return_info=True)
+    assert float(resid) < 1e-4
+    a = np.asarray(a_obs, np.float64) + inflat * np.eye(k)
+    z = np.asarray(z_p, np.float64)
+    res = np.einsum("bij,bjk,bkl->bil", z, a, z) - np.eye(k)
+    assert np.abs(res).max() < 5e-4
+    z_x = np.asarray(solver.ns_invsqrt(a_obs, inflat), np.float64)
+    np.testing.assert_allclose(z, z_x, rtol=0, atol=2e-4 * np.abs(z_x).max())
