@@ -28,7 +28,7 @@ found by vectorized multisection on the distance matrix (a few cheap masked-
 count passes).  Documented divergence (shared with ops/neighbors.py): where
 kdtree2 keeps an *arbitrary* ``max_lz_pts``-subset of in-radius obs
 (module_kdtree2.f90:1696-1706), this path keeps the nearest-by-radius subset;
-obs tied within the multisection resolution (~cap * 8^-8) of the final
+obs tied within the multisection resolution (~cap * 16^-6) of the final
 threshold may be excluded, so the kept count is <= n_max, matching the gather
 path except at such ties.  Results are identical whenever the cap is not hit.
 """
@@ -236,17 +236,26 @@ def platform_dense_tables(
     )
 
 
-def _cap_threshold(r2, n_max: int, r2_cap: float, *, splits: int = 8,
-                   rounds: int = 8):
+def _cap_threshold(r2, n_max: int, r2_cap: float, *, splits: int = 16,
+                   rounds: int = 6):
     """Largest per-row threshold ``t <= r2_cap`` with ``#(r2 <= t) <= n_max``.
 
     Vectorized multisection: each round counts ``splits`` candidate
     thresholds in one masked-sum pass over ``r2`` (memory-bound, so counting
     several candidates per pass is ~free) and narrows the bracket by
     ``splits``x.  Resolution after ``rounds``: ``r2_cap * splits**-rounds``
-    (~8e-7 relative at the defaults).  The invariant ``count(lo) <= n_max``
-    holds throughout (lo starts below every distance), so the returned
-    threshold never overshoots the cap.
+    (~6e-8 relative at the defaults; ties within it fall under the
+    documented cap-tie divergence, module docstring).  The invariant
+    ``count(lo) <= n_max`` holds throughout (lo starts below every
+    distance), so the returned threshold never overshoots the cap.
+
+    Defaults moved 8x8 -> 16x6 in round 5: the search is bound by the
+    per-round full re-read of ``r2`` (PROFILE_CYCLE_r05: 0.62 s of the
+    4.9 s cycle), so fewer, wider rounds at the same resolution cut its
+    cost ~8/6 while the extra per-pass candidates ride the same read
+    (16x5 was tried first and demoted one borderline record per ~20
+    query points against the gather oracle — below the old resolution,
+    caught by tests/test_dense.py::test_dense_matches_gather_over_cap).
     """
     dtype = r2.dtype
     # derive from r2 so the carry stays device-varying under shard_map

@@ -105,9 +105,9 @@ def supports(k: int) -> bool:
     return pack_width(k) >= 2 and k % 8 == 0
 
 
-def _ns_kernel(a_ref, z_ref, err_ref, w_s, z_s, blk_ab, blk_b, c_s,
-               *, k: int, m: int, n_packs: int, inflat: float, tol: float,
-               max_iters: int):
+def _ns_kernel(a_ref, z_ref, err_ref, w_s, z_s, blk_ab, blk_b, blk_ab2,
+               blk_b2, c_s, *, k: int, m: int, n_packs: int, inflat: float,
+               tol: float, max_iters: int):
     """One grid block: G = m * n_packs matrices held and iterated in VMEM.
 
     Refs:
@@ -141,6 +141,8 @@ def _ns_kernel(a_ref, z_ref, err_ref, w_s, z_s, blk_ab, blk_b, c_s,
     # rewrite the diagonal blocks, so the zeros persist for the whole block
     blk_ab[:] = jnp.zeros_like(blk_ab)
     blk_b[:] = jnp.zeros_like(blk_b)
+    blk_ab2[:] = jnp.zeros_like(blk_ab2)
+    blk_b2[:] = jnp.zeros_like(blk_b2)
 
     # every dynamic index stays int32 (m/k as int32 scalars): Python-int
     # literals in index arithmetic lower as i64 constants under x64, which
@@ -172,40 +174,63 @@ def _ns_kernel(a_ref, z_ref, err_ref, w_s, z_s, blk_ab, blk_b, c_s,
     # (max over packs of this step's |W' - I|), reproducing the XLA path's
     # while-on-residual semantics at block granularity.
     #
-    # (Round-5 experiment, REVERTED: a manual bf16_3x growth phase — hi/lo
-    # significand split + three single-pass bf16 dots, since Mosaic's dot
-    # lowering accepts only DEFAULT and HIGHEST — measured SLOWER than the
-    # plain HIGHEST iteration on the chip: 631,944 vs 722,180 solves/s at
-    # [4096, 40, 40].  The kernel is weight-load/VPU-bound at these matmul
-    # shapes, not pass-count-bound, so halving MXU passes loses to the
-    # extra per-dot fills and the split conversions.)
+    # PRECISION EXPERIMENTS (round 5, all measured on chip and rejected):
+    # (a) manual bf16_3x hi/lo-split iterations: 631,944 vs 722,180
+    #     solves/s — three separate dots pay three weight fills;
+    # (b) a full three-phase scheme (HIGHEST until the spectrum bottom
+    #     clears bf16's perturbation radius, one-pass-bf16 contraction,
+    #     W := Z A_c Z resync + endgame) was built and then abandoned on
+    #     TWO findings: the W-form endgame after any off-manifold drift
+    #     converges W -> I WITHOUT Z -> A^(-1/2) (post-drift Z no longer
+    #     commutes with A, so T(ZAZ)T != (TZ)A(TZ); an uncoupled-Newton
+    #     endgame fixes that but converges only linearly in the drift's
+    #     asymmetric part), and — decisively — a 9-fixed-iteration speed
+    #     probe measured pure-bf16 iterations only 10% faster than pure
+    #     HIGHEST (8.8 vs 9.7 ms at [4096,40,40]): the kernel is bound by
+    #     per-pack scratch serialization, not MXU passes, so no precision
+    #     scheme can pay.
     def make_step(mm):
+        def one_pack_with(p, acc, ab, bb):
+            rows = pl.ds(p * k_i, k)
+            w = w_s[rows, :]
+            t = 1.5 * eye_h - 0.5 * w
+            for e in range(m):
+                cols = slice(e * k, (e + 1) * k)
+                ab[pl.ds(e * k, k), cols] = w[:, cols]
+                ab[pl.ds(e * k, k),
+                   _LANES + e * k:_LANES + (e + 1) * k] = z_s[rows, cols]
+            out = mm(t, ab[:])
+            z_s[rows, :] = out[:, _LANES:_LANES + s]
+            for e in range(m):
+                bb[pl.ds(e * k, k), e * k:(e + 1) * k] = (
+                    out[:, e * k:(e + 1) * k])
+            w_new = mm(t, bb[:])
+            w_s[rows, :] = w_new
+            # running residual of this pack (stored via max into err
+            # scratch is handled by the caller loop below)
+            return jnp.maximum(acc, jnp.max(jnp.abs(w_new - eye_h)))
+
         def step2(state):
             it, _ = state
 
-            def one_pack(p, _):
-                rows = pl.ds(p * k_i, k)
-                w = w_s[rows, :]
-                t = 1.5 * eye_h - 0.5 * w
-                for e in range(m):
-                    cols = slice(e * k, (e + 1) * k)
-                    blk_ab[pl.ds(e * k, k), cols] = w[:, cols]
-                    blk_ab[pl.ds(e * k, k),
-                           _LANES + e * k:_LANES + (e + 1) * k] = (
-                        z_s[rows, cols])
-                out = mm(t, blk_ab[:])
-                z_s[rows, :] = out[:, _LANES:_LANES + s]
-                for e in range(m):
-                    blk_b[pl.ds(e * k, k), e * k:(e + 1) * k] = (
-                        out[:, e * k:(e + 1) * k])
-                w_new = mm(t, blk_b[:])
-                w_s[rows, :] = w_new
-                # running residual of this pack (stored via max into err
-                # scratch is handled by the caller loop below)
-                return jnp.maximum(_, jnp.max(jnp.abs(w_new - eye_h)))
+            # packs in PAIRS on alternating scratch buffers: with one
+            # shared buffer, pack p+1's stores must wait for pack p's
+            # matmuls to consume it, serializing VPU stores against the
+            # MXU (the 9-fixed-iteration probe showed matmuls are only
+            # ~10% of kernel time).  Double buffering lets Mosaic overlap
+            # the next pack's blkdiag stores with the current matmuls.
+            def pack_pair(q, acc):
+                p0 = 2 * q
+                acc = one_pack_with(p0, acc, blk_ab, blk_b)
+                acc = one_pack_with(p0 + jnp.int32(1), acc, blk_ab2,
+                                    blk_b2)
+                return acc
 
-            err = jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_packs),
-                                    one_pack, jnp.zeros((), dt))
+            err = jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_packs // 2),
+                                    pack_pair, jnp.zeros((), dt))
+            if n_packs % 2:
+                err = one_pack_with(jnp.int32(n_packs - 1), err, blk_ab,
+                                    blk_b)
             return it + 1, err
 
         return step2
@@ -365,6 +390,14 @@ def ns_invsqrt_pallas(a_obs, inflat, *, tol: float = 1e-4,
     # ~768 KB of W state per block at k=40 — deep enough to amortize the
     # grid, small enough that W/Z/A/out blocks fit VMEM comfortably
     n_packs = max(1, (3 << 18) // (k * s * 4))
+    # scoped-VMEM guard: the [G, k, k] input/output grid blocks are lane-
+    # PADDED to [G, k, 128] and the pallas pipeline double-buffers both,
+    # so 4 padded copies must fit the ~16 MB scoped budget.  At small k
+    # the padding factor (128/k) dominates — k=24 with the state-sized
+    # n_packs alone compiled to 17.9 MB and failed the CLI drive
+    # (round 5); cap the block depth by the padded-block budget.
+    g_cap = max(m, (11 << 20) // (4 * k * _LANES * 4))
+    n_packs = max(1, min(n_packs, g_cap // m))
     g = m * n_packs
     nb = -(-b // g)
     b_pad = nb * g
@@ -388,8 +421,10 @@ def ns_invsqrt_pallas(a_obs, inflat, *, tol: float = 1e-4,
         ]
     else:
         scratch += [
-            pltpu.VMEM((s, 256), a.dtype),          # round-A RHS
-            pltpu.VMEM((s, s), a.dtype),            # round-B RHS
+            pltpu.VMEM((s, 256), a.dtype),          # round-A RHS (even p)
+            pltpu.VMEM((s, s), a.dtype),            # round-B RHS (even p)
+            pltpu.VMEM((s, 256), a.dtype),          # round-A RHS (odd p)
+            pltpu.VMEM((s, s), a.dtype),            # round-B RHS (odd p)
         ]
     scratch.append(pltpu.SMEM((n_packs, m), a.dtype))   # scales
     # index_map zeros must be int32 (same x64 i64-legalization class as

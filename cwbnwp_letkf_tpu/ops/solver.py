@@ -156,7 +156,8 @@ def _ns_z(a_obs, inflat):
 
 @jax.named_scope("ns_invsqrt")
 def ns_invsqrt(a_obs, inflat, *, tol: float = 1e-4, max_iters: int = 24,
-               mixed: bool = False, return_info: bool = False):
+               mixed: bool = False, scaled: bool = True,
+               return_info: bool = False):
     """Batched ``Z ~= (a_obs + inflat*I)^(-1/2)`` by coupled Newton-Schulz.
 
     The LETKF solve never needs eigenpairs — only ``A^(-1) g`` and
@@ -180,6 +181,23 @@ def ns_invsqrt(a_obs, inflat, *, tol: float = 1e-4, max_iters: int = 24,
     Runs a ``lax.while_loop`` on ``max|ZY - I|`` (the residual is a free
     byproduct of T) with full-f32 MXU precision.
 
+    On SCALING (round-5 analysis, rejected with evidence): the real
+    cycle's normal matrices are far worse conditioned than synthetic
+    benches (dense localized obs put kappa at 10^2-10^3, where the
+    iteration runs ~9 steps, vs ~4 at the benches' kappa ~ 3), so
+    interval-tracked balanced scaling (mu^2 = 3/(lo+hi) from the provable
+    bounds lo = inflat/c, hi = 1.9) was implemented and measured.  It is
+    structurally UNSAFE for this map: the balanced choice folds the top
+    of the spectrum through the cubic's root at 3/mu^2, and with a
+    pessimistic lo (the only provable one — a_obs is exactly singular at
+    obs-sparse points but well-conditioned at dense ones) TRUE top
+    eigenvalues land on the root, where f32 rounding flips their sign
+    and the iteration diverges (observed NaN at kappa ~ 4).  A
+    fold-free margin (mu^2 <= 2/hi) caps the bottom-growth gain at
+    ~1.26x/step vs the unscaled 1.5x — not worth the extra scalar
+    machinery.  The (0, 3) contraction region is the binding constraint;
+    iteration count at real conditioning is a property of the problem.
+
     Returns ``z`` ``[B, k, k]`` symmetric; with ``return_info=True`` returns
     ``(z, iters, residual)`` — the executed matmul-pass count (for measured
     rooflines instead of assumed ones) and the final ``max|ZY - I|``.  The
@@ -200,6 +218,12 @@ def ns_invsqrt(a_obs, inflat, *, tol: float = 1e-4, max_iters: int = 24,
     c = jnp.max(jnp.sum(jnp.abs(a), axis=-1), axis=-1) / 1.9    # [B]
     c = jnp.maximum(c, jnp.finfo(dt).tiny)
     y = a / c[:, None, None]
+    # (Round-5 experiment, REVERTED: a squared-Gershgorin tightening pass
+    # — lam_max(Y) <= sqrt(G(Y^2)), always tighter than G(Y) — rescaling
+    # the spectrum top back to 1.9.  Measured: saves one iteration only
+    # at conditionings harsher than the production case (6->5 at obs
+    # scale 1.0; no change at the bench operating point), while costing
+    # one extra matmul per solve (~8%).  Net loss where it matters.)
     # z/err must DERIVE from the input (zeros_like, not a broadcast
     # constant): under shard_map the while_loop outputs are varying over
     # the mesh axis, and an unvarying initial carry fails the
@@ -207,6 +231,8 @@ def ns_invsqrt(a_obs, inflat, *, tol: float = 1e-4, max_iters: int = 24,
     # sharded NS solve on a real mesh (CPU tests take the eigh path and
     # structurally cannot see it).
     z = jnp.zeros_like(a) + eye
+
+    del scaled  # see docstring: scaling rejected with evidence
 
     def make_step(precision):
         def mm(p, q):
@@ -216,12 +242,6 @@ def ns_invsqrt(a_obs, inflat, *, tol: float = 1e-4, max_iters: int = 24,
         def step(state):
             y, z, _, i = state
             w = mm(z, y)
-            # (Per-step scalar rescaling was tried and REVERTED: any mu
-            # with lam_max(W) * mu^2 > 3 diverges, and cheap estimates like
-            # k/trace(W) under-measure lam_max for the skewed spectra
-            # ill-conditioned A produces — exactly when acceleration would
-            # matter.  The plain iteration's contraction region is lam in
-            # (0, 3), guaranteed here by the Gershgorin initial scale.)
             t = 0.5 * (3.0 * eye - w)
             err = jnp.max(jnp.abs(w - eye))
             return mm(y, t), mm(t, z), err, i + 1
@@ -287,9 +307,13 @@ def ns_invsqrt_refined(a_obs, inflat, *, refine_steps: int = 1):
     The f64 matmuls run through the Ozaki error-free-transformation
     scheme (ops/df64.py): exact bf16 MXU passes instead of XLA's software
     f64 emulation — this is what makes the refinement CHEAPER than the
-    emulated-f64 eigensolve rather than merely equal to it (measured
-    round 4: plain-einsum refinement 11.7k pts/s vs the f64 eigh path's
-    13.1k — the emulated-f64 products dominated both).
+    emulated-f64 eigensolve rather than merely equal to it.  Measured on
+    the chip (round 5, after fixing the f64-frexp s64-bitcast compile
+    failure that blocked every round-4 attempt): the refined group solve
+    runs 28,212 pts/s vs the full-f64 eigh path's 13,092 (2.2x) and the
+    f32 path's 347,844 (12.3x slowdown), with max error 1.0e-9 relative
+    to the full-f64 solve — f64-grade, vs the f32 path's 1.5e-6
+    ([4096, 40, 40] normal matrices, 300-obs conditioning).
 
     Returns ``(z64, resid)`` with resid the f32 stage's certificate.
     """
