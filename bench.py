@@ -620,7 +620,7 @@ def bench_prod_shape():
     for si in range(n_slabs):
         one = plan_cycle_budgets(
             jnp.asarray(pts_p[si * slab:(si + 1) * slab]), [dev], groups,
-            chunk=2048, subchunk=512, obs_presorted=True)
+            chunk=2048, subchunk=2048, obs_presorted=True)
         for name, bb in one.items():
             if merged is None or bb.max_blocks > merged.max_blocks:
                 merged = bb
@@ -633,7 +633,7 @@ def bench_prod_shape():
         plat = DevicePlatform(static=st, xyz=xyz, stats=stats)
         return update_points_cycle(
             xb_s[:, None, :], pts_s, [plat], groups, weight_function=0,
-            chunk=2048, subchunk=512, max_blocks=budgets,
+            chunk=2048, subchunk=2048, max_blocks=budgets,
             obs_presorted=True, return_diagnostics=True)
 
     def upload(si):

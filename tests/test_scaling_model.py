@@ -65,16 +65,21 @@ def test_predict_ici_sensitivity_sweep():
 
     Round-4 verdict weak #7: the 45 GB/s assumption had no committed
     sensitivity sweep, so the "hits target" test proved self-consistency,
-    not headroom.  The sweep's honest findings at production volume:
+    not headroom.  This test sweeps a STRESS case — production state
+    volume with a hypothetical t_compute(1) = 30 s, i.e. a ~24x faster
+    solver than the round-5 chip-measured per-group compute (716 s,
+    prod_shape_compute_s) — where comm genuinely competes with compute.
+    Findings:
 
     - the comm/compute ratio is SCALE-INVARIANT in this model (transpose
       time and compute time both fall as 1/chips), so the sensitivity
       curve is essentially the same at every host count;
-    - the 85% target holds at >= the assumed 45 GB/s sustained
-      all-to-all and fails just below it (84% at 30 GB/s) — i.e. the
-      prediction is bandwidth-critical with ~0% margin under the
-      conservative sustained number (v5e peak ICI is several times
-      higher, which is the actual headroom).
+    - at the stress point the 85% target holds at >= the assumed
+      45 GB/s sustained all-to-all and fails just below it (84% at
+      30 GB/s) — bandwidth-critical with ~0% margin;
+    - at the MEASURED compute time the margin is wide: the committed
+      artifact (SCALING_MODEL_r05.json, examples/scaling_model_report.py)
+      shows 86.6% at 8 hosts with the target held down to 5 GB/s.
 
     Documented, asserted, visible to any consumer of the model output.
     """
