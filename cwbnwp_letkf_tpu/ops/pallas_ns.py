@@ -1,12 +1,13 @@
 """Pallas TPU kernel: batched Newton-Schulz inverse square root.
 
-The production LETKF cycle is SOLVE-bound (measured round 4: per variable
-group, accumulation 0.37 s vs solve 0.84 s at 327,680 points), and the solve
-is ``ns_invsqrt`` (ops/solver.py) — batched ``[B, k, k]`` matmuls with
-k = ensemble size = 40.  On the 128x128 MXU a 40x40x40 matmul pads its
-contraction and lane dimensions to 128, capping utilization at
-(40/128)^2 ~ 9.8%; XLA's batched-gemm lowering achieves 4.3% measured
-(BENCH_r03.json), i.e. the solve runs at ~1/20 of the chip's matmul rate.
+The production LETKF cycle is SOLVE-bound (round-5 profile,
+PROFILE_CYCLE_r05.json: the Z-builds are 3.4 s of the 4.7 s fused-cycle
+wall at 327,680 points x 16 variables), and the solve is ``ns_invsqrt``
+(ops/solver.py) — batched ``[B, k, k]`` matmuls with k = ensemble size
+= 40.  On the 128x128 MXU a 40x40x40 matmul pads its contraction and lane
+dimensions to 128, capping utilization at (40/128)^2 ~ 9.8%; XLA's
+batched-gemm lowering achieves 4.3% measured (BENCH_r03.json), i.e. the
+solve runs at ~1/20 of the chip's matmul rate.
 
 This kernel restructures the iteration around two facts:
 
