@@ -156,8 +156,7 @@ def _ns_z(a_obs, inflat):
 
 @jax.named_scope("ns_invsqrt")
 def ns_invsqrt(a_obs, inflat, *, tol: float = 1e-4, max_iters: int = 24,
-               mixed: bool = False, scaled: bool = True,
-               return_info: bool = False):
+               mixed: bool = False, return_info: bool = False):
     """Batched ``Z ~= (a_obs + inflat*I)^(-1/2)`` by coupled Newton-Schulz.
 
     The LETKF solve never needs eigenpairs — only ``A^(-1) g`` and
@@ -231,8 +230,6 @@ def ns_invsqrt(a_obs, inflat, *, tol: float = 1e-4, max_iters: int = 24,
     # sharded NS solve on a real mesh (CPU tests take the eigh path and
     # structurally cannot see it).
     z = jnp.zeros_like(a) + eye
-
-    del scaled  # see docstring: scaling rejected with evidence
 
     def make_step(precision):
         def mm(p, q):

@@ -256,3 +256,76 @@ def test_pallas_ns_kernel_interpret_matches_xla(k):
     assert np.abs(res).max() < 5e-4
     z_x = np.asarray(solver.ns_invsqrt(a_obs, inflat), np.float64)
     np.testing.assert_allclose(z, z_x, rtol=0, atol=2e-4 * np.abs(z_x).max())
+
+
+@pytest.mark.parametrize("k", [8, 16, 24, 32, 40, 48, 56, 64])
+def test_pallas_ns_block_depth_fits_scoped_vmem(k):
+    """The kernel's block sizing must respect the scoped-VMEM budget.
+
+    The [G, k, k] input/output grid blocks are lane-padded to [G, k, 128]
+    and pipeline-double-buffered; k=24 with state-only sizing compiled to
+    17.9 MB scoped VMEM and failed on hardware (round-5 CLI drive).  This
+    re-derives the padded footprint for every supported k and asserts it
+    stays under the 16 MB Mosaic budget with margin for scratch.
+    """
+    from cwbnwp_letkf_tpu.ops import pallas_ns as P
+
+    m = P.pack_width(k)
+    s = m * k
+    n_packs = max(1, (3 << 18) // (k * s * 4))
+    g_cap = max(m, (11 << 20) // (4 * k * 128 * 4))
+    n_packs = max(1, min(n_packs, g_cap // m))
+    g = m * n_packs
+    blocks = 4 * g * k * 128 * 4                   # in+out, double-buffered
+    scratch = (2 * n_packs * k * s + 2 * (s * 256 + s * s)) * 4
+    assert blocks + scratch < (15 << 20), (k, blocks, scratch)
+
+
+@pytest.mark.parametrize("p", [200000, 526592, 64 * 3127, 131072])
+def test_fused_table_slice_rows_sublane_aligned(p):
+    """Slice rows must divide P and be sublane-aligned (bitcast reshapes).
+
+    Misaligned rows make XLA insert a table-sized relayout copy — 7 GB of
+    extra HBM residency at the k=96 production radar volume (the second
+    round of the round-5 prod_shape OOM).
+    """
+    from cwbnwp_letkf_tpu.ops import dense
+
+    n = 1
+    if p > dense._TABLE_ROW_SLICE:
+        for cand in range(-(-p // dense._TABLE_ROW_SLICE),
+                          min(p, 1024) + 1):
+            if p % cand == 0 and (p // cand) % 8 == 0:
+                n = cand
+                break
+    assert p % n == 0
+    rows = p // n
+    if n > 1:
+        assert rows % 8 == 0
+        assert rows <= 4 * dense._TABLE_ROW_SLICE
+
+
+def test_pallas_ns_rmul_packing_matches_trio():
+    """packing='rmul' (the measured A/B variant) stays correct.
+
+    Kept as chip-measurable evidence (ops/pallas_ns.py docstrings quote
+    its numbers); this guards it against bit-rot.  Commuting
+    right-multiplications give the same Z as the trio kernel up to
+    rounding-order differences.
+    """
+    from cwbnwp_letkf_tpu.ops.pallas_ns import ns_invsqrt_pallas
+
+    rng = np.random.default_rng(12)
+    k = 40
+    a_obs, _ = _normal_case(rng, 8, k, 2 * k)
+    inflat = (k - 1) / 1.1
+    z_t = np.asarray(ns_invsqrt_pallas(a_obs, inflat, interpret=True),
+                     np.float64)
+    z_r = np.asarray(ns_invsqrt_pallas(a_obs, inflat, packing="rmul",
+                                       interpret=True), np.float64)
+    a = np.asarray(a_obs, np.float64) + inflat * np.eye(k)
+    for z in (z_t, z_r):
+        res = np.einsum("bij,bjk,bkl->bil", z, a, z) - np.eye(k)
+        assert np.abs(res).max() < 5e-4
+    np.testing.assert_allclose(z_r, z_t, rtol=0,
+                               atol=1e-4 * np.abs(z_t).max())
