@@ -33,6 +33,12 @@ bounding box plus the localization ball covers far fewer blocks than a
 4096-point chunk's), cutting the per-point matmul width several-fold at
 production radar volumes.  The k-by-k solves then run per OUTER chunk
 (default 4096) where the batched Newton-Schulz iteration is efficient.
+Subchunk sizing is a measured trade, not a monotone win: at k=40 / modest
+budgets the default 512 is fine (the round-5 A/B showed <2% spread over
+256-1024), but at the k=96 production radar volume the per-subchunk
+candidate-table GATHER dominates and WIDE subchunks amortize it —
+subchunk 2048 measured 2.6x faster per production slab than 512
+(32.2 -> 12.6 s; bench.bench_prod_shape runs subchunk=chunk=2048).
 
 Equivalence: same math as update_points_group per group; results agree to
 float32 accumulation-order tolerance (the candidate sets differ only by
