@@ -753,6 +753,16 @@ def letkf_solve_cycle_from_normal(
     residual attribution ever matters, return per-launch residuals keyed
     by inflation value.
 
+    (Round-5 experiment, REVERTED with chip evidence: deriving a mixed
+    group's smaller-shift factor by SHIFT-REUSE —
+    ``Z_d1 = Z_d2 M^(-1/2)`` with ``M = I - (d2-d1) Z_d2^2``, whose
+    conditioning is bounded by the shift ratio (1.45 under the production
+    namelist) so ``M^(-1/2)`` converges in ~3 iterations — is exact
+    algebra and passed the CPU parity suite, but measured 11.43 s vs
+    5.24 s for the fused cycle: chaining Z2 -> Z2^2 -> M-solve -> compose
+    serializes what the independent per-value stacked launches otherwise
+    overlap, and the lost overlap outweighs the saved iterations.)
+
     Returns a list of per-group ``xa`` (+ shared diagnostics dict).
     """
     n_groups = len(a_groups)
